@@ -1,0 +1,91 @@
+"""Chain diagnostics (reference ``nnest/utils/evaluation.py``), fully
+vectorized — the reference computes acceptance rate and jump distance with
+nested Python loops over (chains × steps); here every diagnostic is a handful
+of numpy array ops, and the autocorrelation-based ESS matches the reference's
+truncated-sum estimator (``evaluation.py:17-39``).
+
+All functions expect chains shaped (num_chains, num_steps, dim).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def auto_correlation_time(x, s, mu, var):
+    """Lag-s autocorrelation averaged over chains (reference
+    ``evaluation.py:6-14``)."""
+    x = np.asarray(x)
+    y = x - mu
+    p, n = y[:, :-s, :], y[:, s:, :]
+    return np.mean(p * n, axis=(0, 1)) / var
+
+
+def effective_sample_size(x, mu, var):
+    """Truncated-autocorrelation ESS per dimension (reference
+    ``evaluation.py:17-39``): accumulate 2*rho_s*(1 - s/t) while any dim has
+    rho_s > 0.05, then ESS = t / sum."""
+    x = np.asarray(x)
+    b, t, d = x.shape
+    ess = np.ones(d)
+    for s in range(1, t):
+        p = auto_correlation_time(x, s, mu, var)
+        active = p > 0.05
+        if not np.any(active):
+            break
+        ess[active] += 2.0 * p[active] * (1.0 - float(s) / t)
+    return t / ess
+
+
+def acceptance_rate(x):
+    """Fraction of steps where the chain moved (reference
+    ``evaluation.py:42-56``), vectorized."""
+    x = np.asarray(x)
+    moved = np.any(x[:, 1:, :] != x[:, :-1, :], axis=-1)
+    return float(np.mean(moved))
+
+
+def mean_jump_distance(x):
+    """Mean Euclidean step length (reference ``evaluation.py:59-73``)."""
+    x = np.asarray(x)
+    jumps = np.linalg.norm(x[:, 1:, :] - x[:, :-1, :], axis=-1)
+    return float(np.mean(jumps))
+
+
+def gelman_rubin_diagnostic(x, mu=None):
+    """Gelman–Rubin R-hat per dimension (reference ``evaluation.py:76-92``,
+    same estimator including its 1e-5 regularizer)."""
+    x = np.asarray(x)
+    m, n = x.shape[0], x.shape[1]
+    theta = np.mean(x, axis=1)
+    sigma = np.var(x, axis=1)
+    theta_m = mu if mu is not None else np.mean(theta, axis=0)
+    b = float(n) / float(m - 1) * np.sum((theta - theta_m) ** 2, axis=0)
+    w = 1.0 / (float(m) * np.sum(sigma, axis=0) + 1e-5)
+    v = float(n - 1) / float(n) * w + float(m + 1) / float(m * n) * b
+    return np.sqrt(v / w)
+
+
+def integrated_autocorr_time(x, c: float = 5.0, tol: float = 50.0):
+    """FFT-based integrated autocorrelation time per dimension, emcee-style
+    (used by EnsembleSampler.bootstrap thinning — the reference delegates to
+    ``emcee.get_autocorr_time``, ``ensemble.py:146``). x: (chains, steps, dim).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    m, t, d = x.shape
+    taus = np.empty(d)
+    for j in range(d):
+        f = np.zeros(t)
+        for i in range(m):
+            y = x[i, :, j] - np.mean(x[i, :, j])
+            n = 1 << (2 * t - 1).bit_length()
+            fy = np.fft.fft(y, n=n)
+            acf = np.fft.ifft(fy * np.conjugate(fy))[:t].real
+            if acf[0] > 0:
+                f += acf / acf[0]
+        f /= m
+        taus_cum = 2.0 * np.cumsum(f) - 1.0
+        window = np.arange(len(taus_cum)) >= c * taus_cum
+        idx = np.argmax(window) if np.any(window) else len(taus_cum) - 1
+        taus[j] = max(taus_cum[idx], 1.0)
+    return taus

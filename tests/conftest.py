@@ -1,0 +1,22 @@
+"""Test configuration: force CPU with 8 virtual devices so multi-chip
+sharding paths are exercised without TPU hardware (the JAX equivalent of
+multi-node simulation; the reference has no distributed tests at all —
+SURVEY.md §4).
+
+Note: the environment's sitecustomize imports jax and pins JAX_PLATFORMS=axon
+(the remote-TPU tunnel) before pytest starts, so plain env vars are too late —
+we must update the live jax config. XLA_FLAGS is still read lazily at backend
+initialization, so forcing the host device count here works as long as no
+test module triggers backend init at import time.
+"""
+
+import os
+
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
