@@ -1,0 +1,438 @@
+"""Flow trainer — maximum-likelihood training of a normalizing flow.
+
+TPU-native equivalent of the reference Trainer (``nnest/trainer.py:28-418``)
+with the same public surface: constructor flow selection
+(``trainer.py:83-100``), ``train()`` with validation split / jitter /
+patience / best-model restore (``trainer.py:134-245``), numpy-facing
+``forward``/``inverse``/``get_*``/``log_probs`` bridges
+(``trainer.py:247-301``), ``plot_samples`` (``trainer.py:303-371``) and model
+checkpointing. Architectural differences (TPU-first):
+
+- One jitted *epoch* program: shuffle + batch + scan over train batches +
+  validation loss, all on device; the host loop only handles early stopping.
+  The reference dispatches per-batch torch ops from Python.
+- Optimizer is optax Adam with torch-style L2 weight decay (decay added to
+  the gradient *before* the Adam moments, matching ``torch.optim.Adam
+  (weight_decay=…)`` used at ``trainer.py:121-122``), masked so frozen
+  buffers (param keys starting with '_', e.g. the 1x1-conv permutation) are
+  never updated.
+- Auto-jitter (kNN mean distance, reference ``trainer.py:168-173``) is a
+  jitted pairwise-distance computation instead of scipy cKDTree.
+- Explicit PRNG threading: a seed produces a reproducible run; the reference
+  uses the unseeded global RNG.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nnest_tpu.flows import build_flow
+from nnest_tpu.utils.logger import create_logger
+
+
+def trainable_mask(params):
+    """Pytree bool mask: False for frozen buffer leaves (dict keys starting
+    with '_'), True otherwise."""
+
+    def mark(path, leaf):
+        for p in path:
+            name = getattr(p, 'key', None)
+            if isinstance(name, str) and name.startswith('_'):
+                return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
+@jax.jit
+def _mean_nn_distance(x):
+    """Mean distance to nearest neighbour (auto-jitter scale). MXU-friendly
+    O(n²) pairwise distances; fine for live-point-sized sets."""
+    sq = jnp.sum(x ** 2, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
+        x, x.T, precision=jax.lax.Precision.HIGHEST)
+    d2 = d2 + jnp.diag(jnp.full(x.shape[0], jnp.inf))
+    return jnp.mean(jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0)))
+
+
+class Trainer:
+    best_validation_epoch = None
+    best_validation_loss = None
+
+    def __init__(self,
+                 x_dim,
+                 hidden_dim=16,
+                 num_slow=0,
+                 batch_size=100,
+                 flow='spline',
+                 scale='',
+                 num_blocks=3,
+                 num_layers=1,
+                 base_dist=None,
+                 load_model='',
+                 log_dir='logs/test',
+                 use_gpu=False,
+                 log=True,
+                 learning_rate=0.0001,
+                 weight_decay=1e-6,
+                 log_level=logging.INFO,
+                 seed=0,
+                 num_bins=8,
+                 tail_bound=3.0):
+        # use_gpu is accepted for API compatibility; device placement in JAX
+        # follows the platform (TPU when available) automatically.
+        del use_gpu
+
+        self.x_dim = x_dim
+        self.z_dim = x_dim
+        self.batch_size = batch_size
+        self.total_iters = 0
+        assert x_dim > num_slow
+        self.num_slow = num_slow
+
+        self.model = build_flow(
+            x_dim, flow=flow, hidden_dim=hidden_dim, num_slow=num_slow,
+            num_blocks=num_blocks, num_layers=num_layers, scale=scale,
+            base_dist=base_dist, num_bins=num_bins, tail_bound=tail_bound)
+
+        self._key = jax.random.PRNGKey(seed)
+        self.params = None  # data-dependent init at first train()/use
+
+        self.learning_rate = learning_rate
+        self.weight_decay = weight_decay
+        self._opt = None
+        self._opt_state = None
+
+        self.logger = create_logger(__name__, level=log_level)
+        self.log = log
+        self.writer = None
+
+        if load_model:
+            self.path = os.path.join(log_dir, load_model)
+            self.load(os.path.join(self.path, 'models', 'netG.pkl'))
+        elif log_dir is not None:
+            self.path = log_dir
+            for sub in ('models', 'data', 'chains', 'plots'):
+                os.makedirs(os.path.join(self.path, sub), exist_ok=True)
+        else:
+            self.path = None
+
+        if self.path is not None:
+            self.writer = _make_writer(self.path)
+
+        # jit caches (per input shape, handled by jax)
+        self._forward = jax.jit(self.model.forward)
+        self._inverse = jax.jit(self.model.inverse)
+        self._log_prob = jax.jit(self.model.log_prob)
+        self._epoch_cache = {}
+
+        self.logger.info('Flow [%s] x_dim [%d] num_slow [%d]' %
+                         (flow, x_dim, num_slow))
+
+    # ------------------------------------------------------------------ rng
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ----------------------------------------------------------------- init
+
+    def ensure_init(self, samples=None):
+        """Initialize flow params (data-dependent ActNorm init when training
+        data is available)."""
+        if self.params is not None:
+            return
+        if samples is not None:
+            x = jnp.asarray(samples, dtype=jnp.float32)
+        else:
+            x = self.model.sample_base(self._next_key(), 64)
+        self.params = self.model.init(self._next_key(), x)
+        self._init_optimizer()
+
+    def _init_optimizer(self):
+        mask = trainable_mask(self.params)
+        self._opt = optax.chain(
+            optax.masked(optax.add_decayed_weights(self.weight_decay), mask),
+            optax.scale_by_adam(),
+            optax.scale(-self.learning_rate),
+            optax.masked(
+                # hard-zero updates on frozen buffers
+                optax.stateless(lambda u, p: jax.tree.map(jnp.zeros_like, u)),
+                jax.tree.map(lambda m: not m, mask)),
+        )
+        self._opt_state = self._opt.init(self.params)
+
+    def num_params(self):
+        self.ensure_init()
+        return sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(self.params))
+
+    # ------------------------------------------------------------- training
+
+    def _make_epoch_fn(self, n_train, n_valid, l2_norm):
+        """Build a jitted full-epoch program for fixed data sizes."""
+        bs = min(self.batch_size, n_train)
+        nb = max(1, n_train // bs)
+        model = self.model
+        opt = self._opt
+
+        def loss_fn(params, batch):
+            nll = -jnp.mean(model.log_prob(params, batch))
+            if l2_norm > 0:
+                l2 = sum(jnp.sum(l ** 2)
+                         for l in jax.tree_util.tree_leaves(params))
+                return nll + l2_norm * l2, nll
+            return nll, nll
+
+        def epoch(params, opt_state, key, train_data, valid_data, jitter):
+            kperm, knoise = jax.random.split(key)
+            perm = jax.random.permutation(kperm, n_train)
+            data = train_data[perm][:nb * bs].reshape(nb, bs, -1)
+            noise_keys = jax.random.split(knoise, nb)
+
+            def body(carry, inp):
+                params, opt_state = carry
+                batch, nk = inp
+                batch = batch + jitter * jax.random.normal(nk, batch.shape)
+                grads, nll = jax.grad(loss_fn, has_aux=True)(params, batch)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), nll
+
+            (params, opt_state), nlls = jax.lax.scan(
+                body, (params, opt_state), (data, noise_keys))
+            val_loss = -jnp.mean(model.log_prob(params, valid_data))
+            return params, opt_state, jnp.mean(nlls), val_loss
+
+        return jax.jit(epoch)
+
+    def train(self,
+              samples,
+              max_iters=10000,
+              log_interval=100,
+              save_interval=100,
+              jitter=0.0,
+              validation_fraction=0.1,
+              patience=50,
+              l2_norm=0.0):
+        """Maximum-likelihood training with early stopping (reference
+        ``trainer.py:134-245``)."""
+        start = time.time()
+        samples = np.asarray(samples, dtype=np.float32)
+        self.ensure_init(samples)
+
+        if self.path:
+            np.save(os.path.join(self.path, 'data', 'originals.npy'), samples)
+
+        x = jnp.asarray(samples)
+        if jitter < 0:
+            training_jitter = float(0.2 * _mean_nn_distance(x))
+        else:
+            training_jitter = float(jitter)
+
+        if self.log:
+            self.logger.info('Number of training samples [%d]'
+                             % samples.shape[0])
+            self.logger.info('Training jitter [%5.4f]' % training_jitter)
+
+        n = samples.shape[0]
+        n_valid = max(1, int(round(n * validation_fraction)))
+        perm = np.asarray(jax.random.permutation(self._next_key(), n))
+        valid = x[perm[:n_valid]]
+        train = x[perm[n_valid:]]
+        n_train = int(train.shape[0])
+
+        cache_key = (n_train, n_valid, float(l2_norm))
+        if cache_key not in self._epoch_cache:
+            self._epoch_cache[cache_key] = self._make_epoch_fn(
+                n_train, n_valid, l2_norm)
+        epoch_fn = self._epoch_cache[cache_key]
+
+        best_val = float('inf')
+        best_epoch = 0
+        best_params = self.params
+        counter = 0
+
+        params, opt_state = self.params, self._opt_state
+        for epoch in range(1, max_iters + 1):
+            self.total_iters += 1
+            params, opt_state, train_loss, val_loss = epoch_fn(
+                params, opt_state, self._next_key(), train, valid,
+                training_jitter)
+            val = float(val_loss)
+
+            if val < best_val:
+                best_epoch = epoch
+                best_val = val
+                best_params = params
+                counter = 0
+            else:
+                counter += 1
+
+            if self.log and (epoch == 1 or epoch % log_interval == 0):
+                self.logger.info(
+                    'Epoch [%i] train loss [%5.4f] validation loss [%5.4f]'
+                    % (epoch, float(train_loss), val))
+            if self.writer is not None:
+                self.writer.add_scalar('loss', val, self.total_iters)
+
+            if counter > patience:
+                if self.log:
+                    self.logger.info('Epoch [%i] ran out of patience' % epoch)
+                break
+
+        self.params = best_params
+        self._opt_state = opt_state
+        self.best_validation_epoch = best_epoch
+        self.best_validation_loss = best_val
+
+        if self.path:
+            self.save(os.path.join(self.path, 'models', 'netG.pkl'))
+
+        if self.log:
+            self.logger.info(
+                'Best epoch [%i] validation loss [%5.4f] train time (s) '
+                '[%5.4f]' % (best_epoch, best_val, time.time() - start))
+
+    # ------------------------------------------------------ transform bridge
+
+    def _prep(self, a):
+        a = jnp.asarray(a, dtype=jnp.float32)
+        if a.ndim == 1:
+            a = a[None, :]
+        return a
+
+    def forward(self, x, to_numpy=False):
+        """x → (z, log|det dz/dx|)."""
+        self.ensure_init()
+        z, logdet = self._forward(self.params, self._prep(x))
+        if to_numpy:
+            return np.asarray(z), np.asarray(logdet)
+        return z, logdet
+
+    def inverse(self, z, to_numpy=False):
+        """z → (x, log|det dx/dz|)."""
+        self.ensure_init()
+        x, logdet = self._inverse(self.params, self._prep(z))
+        if to_numpy:
+            return np.asarray(x), np.asarray(logdet)
+        return x, logdet
+
+    def get_prior_samples(self, num_samples, to_numpy=False):
+        self.ensure_init()
+        z = self.model.sample_base(self._next_key(), num_samples)
+        return np.asarray(z) if to_numpy else z
+
+    def get_latent_samples(self, x, to_numpy=False):
+        return self.forward(x, to_numpy=to_numpy)[0]
+
+    def get_samples(self, z, to_numpy=False):
+        return self.inverse(z, to_numpy=to_numpy)[0]
+
+    def get_synthetic_samples(self, num_samples, to_numpy=False):
+        self.ensure_init()
+        x = self.model.sample(self.params, self._next_key(), num_samples)
+        return np.asarray(x) if to_numpy else x
+
+    def log_probs(self, x, to_numpy=False):
+        self.ensure_init()
+        lp = self._log_prob(self.params, self._prep(x))
+        return np.asarray(lp) if to_numpy else lp
+
+    @property
+    def base_dist(self):
+        return self.model.base_dist
+
+    # --------------------------------------------------------- persistence
+
+    def save(self, path):
+        with open(path, 'wb') as f:
+            pickle.dump(jax.tree.map(np.asarray, self.params), f)
+
+    def load(self, path):
+        with open(path, 'rb') as f:
+            tree = pickle.load(f)
+        self.params = jax.tree.map(jnp.asarray, tree)
+        self._init_optimizer()
+
+    # --------------------------------------------------------------- plots
+
+    def plot_samples(self, samples, outfile=None, plot_synthetic=True):
+        """Real/latent/synthetic triptych with 2-D grid-warp overlay
+        (reference ``trainer.py:303-371``)."""
+        try:
+            import matplotlib
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
+            from matplotlib import collections as mc
+        except ImportError:
+            return
+        samples = np.asarray(samples)
+        ncols = 3 if plot_synthetic else 2
+        fig, ax = plt.subplots(1, ncols, figsize=(4 * ncols + 1, 5))
+        ax[0].scatter(samples[:, 0], samples[:, 1], c='r', s=5, alpha=0.5)
+        ax[0].set_title('Real data')
+
+        def add_grid(axis, pts_fn, xr, yr, ng=30):
+            xx = np.linspace(*xr, ng)
+            yy = np.linspace(*yr, ng)
+            xv, yv = np.meshgrid(xx, yy)
+            xy = np.stack([xv, yv], -1).reshape(ng * ng, 2).astype(np.float32)
+            xs = np.asarray(pts_fn(xy)).reshape(ng, ng, 2)
+            for sl in [(np.s_[1:], np.s_[:-1]), ]:
+                p1 = xs[sl[0], :, :].reshape(-1, 2)
+                p2 = xs[sl[1], :, :].reshape(-1, 2)
+                axis.add_collection(mc.LineCollection(
+                    list(zip(p1, p2)), linewidths=1, alpha=0.2, color='k'))
+                p1 = xs[:, sl[0][0], :].reshape(-1, 2)
+                p2 = xs[:, sl[1][0], :].reshape(-1, 2)
+                axis.add_collection(mc.LineCollection(
+                    list(zip(p1, p2)), linewidths=1, alpha=0.2, color='k'))
+
+        z = self.get_latent_samples(samples, to_numpy=True)
+        if self.x_dim == 2:
+            add_grid(ax[0], lambda g: self.get_samples(g, to_numpy=True),
+                     (-3, 3), (-3, 3))
+            add_grid(ax[1],
+                     lambda g: self.get_latent_samples(g, to_numpy=True),
+                     (samples[:, 0].min() - .1, samples[:, 0].max() + .1),
+                     (samples[:, 1].min() - .1, samples[:, 1].max() + .1))
+        ax[1].scatter(z[:, 0], z[:, 1], c='r', s=5, alpha=0.5)
+        ax[1].set_title('Latent data')
+        if plot_synthetic:
+            xs = self.get_synthetic_samples(samples.shape[0], to_numpy=True)
+            ax[2].scatter(xs[:, 0], xs[:, 1], c='r', s=5, alpha=0.5)
+            ax[2].set_title('Synthetic data')
+        plt.tight_layout()
+        if outfile is not None:
+            plt.savefig(outfile)
+        plt.close(fig)
+
+
+def _make_writer(path):
+    """TensorBoard writer when available (torch is in the image), else a
+    no-op stub (reference logs scalars/figures via SummaryWriter,
+    ``trainer.py:129``)."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        return SummaryWriter(path)
+    except Exception:
+        class _Null:
+            def add_scalar(self, *a, **k):
+                pass
+
+            def add_figure(self, *a, **k):
+                pass
+
+            def close(self):
+                pass
+        return _Null()

@@ -1,0 +1,65 @@
+"""Trainer tests: NLL decreases on a 2-D two-moon-like target, frozen
+buffers stay fixed, save/load round-trips, auto-jitter is finite."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from nnest_tpu.training.trainer import Trainer, trainable_mask, \
+    _mean_nn_distance
+
+
+def _ring_samples(n=600, seed=0):
+    rng = np.random.RandomState(seed)
+    theta = rng.uniform(0, 2 * np.pi, n)
+    r = 2.0 + 0.1 * rng.normal(size=n)
+    return np.stack([r * np.cos(theta), r * np.sin(theta)], axis=1)
+
+
+def test_training_improves_nll(tmp_path):
+    samples = _ring_samples()
+    t = Trainer(2, flow='spline', log_dir=str(tmp_path), log=False,
+                learning_rate=1e-3, seed=0)
+    t.ensure_init(samples)
+    lp_before = float(np.mean(t.log_probs(samples, to_numpy=True)))
+    t.train(samples, max_iters=80, patience=80, jitter=0.01)
+    lp_after = float(np.mean(t.log_probs(samples, to_numpy=True)))
+    assert lp_after > lp_before + 0.3
+    assert t.best_validation_epoch >= 1
+
+
+def test_frozen_buffers_not_trained(tmp_path):
+    samples = _ring_samples(200)
+    t = Trainer(2, flow='spline', log_dir=None, log=False, seed=0)
+    t.ensure_init(samples)
+    before = [np.asarray(l) for l, m in zip(
+        jax.tree_util.tree_leaves(t.params),
+        jax.tree_util.tree_leaves(trainable_mask(t.params))) if not m]
+    assert len(before) > 0  # 1x1-conv permutations exist
+    t.train(samples, max_iters=5, patience=10, jitter=0.01)
+    after = [np.asarray(l) for l, m in zip(
+        jax.tree_util.tree_leaves(t.params),
+        jax.tree_util.tree_leaves(trainable_mask(t.params))) if not m]
+    for b, a in zip(before, after):
+        assert np.array_equal(b, a)
+
+
+def test_save_load_roundtrip(tmp_path):
+    samples = _ring_samples(200)
+    t = Trainer(2, flow='nvp', log_dir=str(tmp_path), log=False, seed=0)
+    t.train(samples, max_iters=3, patience=5, jitter=0.01)
+    z1, ld1 = t.forward(samples[:5], to_numpy=True)
+
+    t2 = Trainer(2, flow='nvp', log_dir=None, log=False, seed=1)
+    t2.load(os.path.join(str(tmp_path), 'models', 'netG.pkl'))
+    z2, ld2 = t2.forward(samples[:5], to_numpy=True)
+    assert np.allclose(z1, z2)
+    assert np.allclose(ld1, ld2)
+
+
+def test_auto_jitter():
+    x = np.asarray(_ring_samples(100), dtype=np.float32)
+    d = float(_mean_nn_distance(x))
+    assert 0 < d < 1.0
