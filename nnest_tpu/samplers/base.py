@@ -1,0 +1,614 @@
+"""Sampler base: user-callable wrapping, trainer, kernels, artifacts.
+
+Equivalent of the reference ``Sampler`` (``nnest/sampler.py:29-527``) redesigned
+for a device-resident execution model:
+
+- User ``loglike``/``transform``/``prior`` are wrapped twice: a numpy-facing
+  "safe" closure with batching/NaN-clamping/call-counting (mirroring
+  ``sampler.py:100-163``), and a pure-JAX closure used *inside* jitted
+  kernels. Pure-JAX likelihoods (anything with a per-point ``logpdf``, e.g.
+  the bundled zoo) run fully fused on device; black-box Python likelihoods
+  fall back to ``io_callback`` so the scan kernels still compile.
+- MPI plumbing (``sampler.py:165-177``) is replaced by ``jax.distributed``
+  process semantics: rank-0 I/O gating via ``jax.process_index() == 0``; the
+  data parallelism itself lives in vectorized chains + device sharding
+  (see nnest_tpu/parallel).
+- The sampling kernels (`_mcmc_sample`, rejection/density/ensemble) keep the
+  reference's host-facing signatures/returns but are single compiled
+  programs per invocation (kernels.py) instead of per-step host loops.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import io_callback
+import numpy as np
+
+from nnest_tpu.samplers.kernels import LatentKernels
+from nnest_tpu.training.trainer import Trainer
+from nnest_tpu.utils.evaluation import (
+    acceptance_rate, effective_sample_size, mean_jump_distance,
+    gelman_rubin_diagnostic)
+from nnest_tpu.utils.logger import create_logger, get_or_create_run_dir
+
+
+def _is_jax_traceable(fn, example_shape):
+    try:
+        jax.eval_shape(fn, jax.ShapeDtypeStruct(example_shape, jnp.float32))
+        return True
+    except Exception:
+        return False
+
+
+class Sampler:
+
+    def __init__(self,
+                 x_dim,
+                 loglike,
+                 transform=None,
+                 prior=None,
+                 append_run_num=True,
+                 hidden_dim=16,
+                 num_slow=0,
+                 num_derived=0,
+                 batch_size=100,
+                 flow='spline',
+                 num_blocks=3,
+                 num_layers=1,
+                 learning_rate=0.001,
+                 log_dir='logs/test',
+                 resume=True,
+                 use_gpu=False,
+                 base_dist=None,
+                 scale='',
+                 trainer=None,
+                 transform_prior=True,
+                 oversample_rate=-1,
+                 log_level=logging.INFO,
+                 param_names=None,
+                 seed=0):
+        self.x_dim = x_dim
+        self.num_derived = num_derived
+        self.num_params = x_dim + num_derived
+        assert x_dim > num_slow
+        self.num_slow = num_slow
+        self.num_fast = x_dim - num_slow
+        self.param_names = param_names
+        if param_names is not None:
+            assert len(param_names) == self.num_params
+        self.oversample_rate = (oversample_rate if oversample_rate > 0
+                                else self.num_fast / self.x_dim)
+
+        self._user_loglike = loglike
+        self._user_transform = transform
+        self._user_prior = prior
+        self._transform_prior = transform_prior
+
+        self._key = jax.random.PRNGKey(seed)
+        self._seed = seed
+
+        # ------------------------------------------------- host transform
+        if transform is None:
+            def _transform_host(x):
+                x = np.asarray(x)
+                if x.ndim == 1:
+                    x = x[None, :]
+                return x
+            self._transform_host = _transform_host
+        else:
+            def _transform_host(x):
+                x = np.asarray(x)
+                if x.ndim == 1:
+                    assert x.shape[0] == self.x_dim
+                    x = x[None, :]
+                return np.asarray(transform(x))
+            self._transform_host = _transform_host
+        self.transform = self._transform_host
+
+        # --------------------------------------------------- host loglike
+        def safe_loglike(x):
+            """Batched, NaN-safe, call-counting wrapper (reference
+            ``sampler.py:110-135``)."""
+            if isinstance(x, list):
+                x = np.asarray(x)
+            x = np.asarray(x, dtype=np.float64)
+            if x.ndim == 1:
+                assert x.shape[0] == self.x_dim
+                x = x[None, :]
+            res = loglike(self.transform(x))
+            self.total_calls += x.shape[0]
+            if isinstance(res, tuple):
+                logl, derived = res
+                logl = np.asarray(logl, dtype=np.float64)
+                derived = np.asarray(derived, dtype=np.float64)
+            else:
+                logl = np.asarray(res, dtype=np.float64)
+                derived = np.zeros((x.shape[0], self.num_derived))
+            if logl.ndim == 0:
+                logl = logl[None]
+            logl[~np.isfinite(logl)] = -1e100
+            if derived.ndim == 1:
+                raise ValueError(
+                    'Derived should have dimensions (batch, num_derived)')
+            if derived.shape[1] != self.num_derived:
+                raise ValueError('Is the number of derived parameters correct?')
+            return logl, derived
+
+        self.loglike = safe_loglike
+
+        # ----------------------------------------------------- host prior
+        self.sample_prior = getattr(prior, 'sample', None)
+        if not callable(self.sample_prior):
+            self.sample_prior = None
+
+        if prior is None:
+            self.prior = lambda x: np.zeros(np.atleast_2d(x).shape[0])
+        else:
+            def safe_prior(x):
+                x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+                if transform_prior:
+                    x = self.transform(x)
+                return np.asarray([float(prior(p)) for p in x])
+            self.prior = safe_prior
+
+        # ---------------------------------------------------- parallelism
+        # Multi-process SPMD (jax.distributed) replaces MPI; in the common
+        # single-process case this is rank 0 of 1.
+        self.mpi_size = jax.process_count()
+        self.mpi_rank = jax.process_index()
+        self.use_mpi = self.mpi_size > 1
+        self.single_or_primary_process = self.mpi_rank == 0
+
+        args = {k: v for k, v in locals().items()
+                if k not in ('self', 'loglike', 'transform', 'prior',
+                             'trainer', 'base_dist')}
+        args.update({'x_dim': x_dim, 'num_derived': num_derived,
+                     'num_slow': num_slow, 'flow': flow,
+                     'sampler': getattr(self, 'sampler', '')})
+
+        if self.single_or_primary_process or os.path.isdir(
+                os.path.join(log_dir or '', 'info')):
+            if log_dir is not None:
+                self.logs = get_or_create_run_dir(
+                    log_dir, append_run_num=append_run_num)
+                self.log_dir = self.logs['run_dir']
+            else:
+                self.logs = None
+                self.log_dir = None
+        else:
+            self.logs = None
+            self.log_dir = None
+
+        self._init_args = args
+        self.resume = resume
+        self.logger = create_logger(__name__, level=log_level)
+
+        if trainer is None:
+            self.trainer = Trainer(
+                x_dim,
+                hidden_dim=hidden_dim,
+                num_slow=num_slow,
+                batch_size=batch_size,
+                flow=flow,
+                num_blocks=num_blocks,
+                num_layers=num_layers,
+                learning_rate=learning_rate,
+                log_dir=self.log_dir,
+                log=self.single_or_primary_process,
+                use_gpu=use_gpu,
+                base_dist=base_dist,
+                scale=scale,
+                seed=seed + 1)
+        else:
+            self.trainer = trainer
+
+        if self.single_or_primary_process:
+            self.logger.info('Num base params [%d]' % self.x_dim)
+            self.logger.info('Num derived params [%d]' % self.num_derived)
+            self.logger.info('Total params [%d]' % self.num_params)
+
+        self.total_accepted = 0
+        self.total_rejected = 0
+        self.total_calls = 0
+        self.total_fast_calls = 0
+
+        self._kernels = None
+        self._max_log_det_j = None
+        self._max_r = None
+
+    # ------------------------------------------------------------- params
+
+    def _save_params(self, extra=None):
+        if self.logs is None:
+            return
+        d = dict(self._init_args)
+        if extra:
+            d.update(extra)
+        d = {k: str(v) for k, v in d.items()}
+        with open(os.path.join(self.logs['info'], 'params.txt'), 'w') as f:
+            json.dump(d, f, indent=4)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ------------------------------------------------------- jax closures
+
+    def invalidate_kernels(self):
+        """Call after changing self.transform (e.g. normalization in
+        MCMCSampler.run) so jitted closures rebuild."""
+        self._kernels = None
+
+    def _build_kernels(self):
+        x_dim, num_derived = self.x_dim, self.num_derived
+        user_transform = self._user_transform
+        user_loglike = self._user_loglike
+        user_prior = self._user_prior
+        transform_prior = self._transform_prior
+        current_transform = self.transform
+
+        # -- transform: pure JAX if traceable, else host callback.
+        if user_transform is None and current_transform is self._transform_host:
+            transform_jax = lambda u: u
+        else:
+            cand = (current_transform
+                    if current_transform is not self._transform_host
+                    else user_transform)
+            if _is_jax_traceable(cand, (2, x_dim)):
+                transform_jax = cand
+            else:
+                def transform_jax(u):
+                    return io_callback(
+                        lambda a: np.asarray(current_transform(
+                            np.asarray(a)), dtype=np.float32),
+                        jax.ShapeDtypeStruct(u.shape, jnp.float32), u)
+
+        # -- likelihood: per-point logpdf vmapped, or traceable batch fn,
+        #    or host callback.
+        logpdf = getattr(user_loglike, 'logpdf', None)
+        if callable(logpdf) and _is_jax_traceable(
+                lambda v: jax.vmap(logpdf)(transform_jax(v)), (2, x_dim)):
+            def like_fn(u):
+                logl = jax.vmap(logpdf)(transform_jax(u))
+                logl = jnp.where(jnp.isfinite(logl), logl, -1e32)
+                return logl, jnp.zeros((u.shape[0], num_derived), jnp.float32)
+        elif not callable(logpdf) and _is_jax_traceable(
+                lambda v: user_loglike(transform_jax(v)), (2, x_dim)):
+            def like_fn(u):
+                logl = user_loglike(transform_jax(u))
+                logl = jnp.where(jnp.isfinite(logl), logl, -1e32)
+                return logl, jnp.zeros((u.shape[0], num_derived), jnp.float32)
+        else:
+            def _host_call(a):
+                a = np.asarray(a, dtype=np.float64)
+                res = user_loglike(current_transform(a))
+                if isinstance(res, tuple):
+                    logl, derived = res
+                else:
+                    logl = res
+                    derived = np.zeros((a.shape[0], num_derived))
+                logl = np.asarray(logl, dtype=np.float64)
+                logl[~np.isfinite(logl)] = -1e100
+                return (logl.astype(np.float32),
+                        np.asarray(derived, dtype=np.float32))
+
+            def like_fn(u):
+                n = u.shape[0]
+                return io_callback(
+                    _host_call,
+                    (jax.ShapeDtypeStruct((n,), jnp.float32),
+                     jax.ShapeDtypeStruct((n, num_derived), jnp.float32)),
+                    u, ordered=True)
+
+        # -- prior logpdf in u-space.
+        if user_prior is None:
+            prior_fn = lambda u: jnp.zeros(u.shape[0], jnp.float32)
+        else:
+            p_logpdf = getattr(user_prior, 'logpdf', None)
+            if callable(p_logpdf):
+                if transform_prior:
+                    def prior_fn(u):
+                        return jax.vmap(p_logpdf)(transform_jax(u))
+                else:
+                    def prior_fn(u):
+                        return jax.vmap(p_logpdf)(u)
+            else:
+                def prior_fn(u):
+                    return io_callback(
+                        lambda a: np.asarray(
+                            self.prior(np.asarray(a)), dtype=np.float32),
+                        jax.ShapeDtypeStruct((u.shape[0],), jnp.float32), u)
+
+        self._kernels = LatentKernels(
+            self.trainer.model, like_fn, prior_fn,
+            num_slow=self.num_slow, oversample_rate=self.oversample_rate,
+            num_derived=num_derived)
+        return self._kernels
+
+    @property
+    def kernels(self) -> LatentKernels:
+        if self._kernels is None:
+            self._build_kernels()
+        return self._kernels
+
+    # --------------------------------------------------------------- MCMC
+
+    def _mcmc_sample(self,
+                     mcmc_steps,
+                     step_size=0.0,
+                     dynamic_step_size=False,
+                     num_chains=1,
+                     init_samples=None,
+                     init_loglikes=None,
+                     init_derived=None,
+                     loglstar=None,
+                     max_start_tries=100,
+                     output_interval=None,
+                     stats_interval=None,
+                     plot_trace=False,
+                     prior_volume_steps=1,
+                     show_progress=False):
+        """Host-facing Metropolis entry (reference ``sampler.py:229-463``):
+        same returns (samples, latent, derived, loglikes, scale, ncall) with
+        chains shaped (num_chains, mcmc_steps+1, dim) — but the whole
+        trajectory is one compiled program."""
+        del show_progress  # single device dispatch; nothing to page through
+        if step_size <= 0.0:
+            step_size = 2.0 / self.x_dim ** 0.5
+
+        self.trainer.ensure_init()
+        kern = self.kernels
+        params = self.trainer.params
+        ncall_init = 0
+
+        if init_samples is not None:
+            num_chains = init_samples.shape[0]
+            init_samples = jnp.asarray(init_samples, jnp.float32)
+            z, _ = self.trainer.model.forward(params, init_samples)
+            # Re-project through the inverse for numerical consistency
+            x, _ = self.trainer.model.inverse(params, z)
+            if init_loglikes is None or init_derived is None:
+                logl, derived = self.loglike(np.asarray(x))
+                ncall_init += num_chains
+                logl = jnp.asarray(logl, jnp.float32)
+                derived = jnp.asarray(derived, jnp.float32)
+            else:
+                logl = jnp.asarray(init_loglikes, jnp.float32)
+                derived = jnp.asarray(
+                    np.asarray(init_derived, dtype=np.float32).reshape(
+                        num_chains, -1)[:, :self.num_derived], jnp.float32)
+            logl_prior = jnp.asarray(self.prior(np.asarray(x)), jnp.float32)
+        else:
+            for i in range(max_start_tries):
+                z = self.trainer.model.sample_base(self._next_key(),
+                                                   num_chains)
+                x, _ = self.trainer.model.inverse(params, z)
+                logl, derived = self.loglike(np.asarray(x))
+                ncall_init += num_chains
+                logl_prior_np = self.prior(np.asarray(x))
+                if np.all(logl > -1e30) and np.all(logl_prior_np > -1e30):
+                    break
+                if i == max_start_tries - 1:
+                    raise RuntimeError('Could not find starting value')
+            logl = jnp.asarray(logl, jnp.float32)
+            derived = jnp.asarray(derived, jnp.float32)
+            logl_prior = jnp.asarray(logl_prior_np, jnp.float32)
+
+        out = kern.mcmc(params, self._next_key(), z, logl, derived,
+                        logl_prior, loglstar=loglstar, step_size=step_size,
+                        mcmc_steps=mcmc_steps,
+                        dynamic_step_size=dynamic_step_size,
+                        prior_volume_steps=prior_volume_steps)
+
+        samples = np.asarray(out['samples'], dtype=np.float64)
+        latent = np.asarray(out['latent'], dtype=np.float64)
+        derived_s = np.asarray(out['derived'], dtype=np.float64)
+        loglikes = np.asarray(out['loglikes'], dtype=np.float64)
+        scale_out = float(out['scale'])
+        ncall = int(out['ncall']) + ncall_init
+
+        self.total_calls += int(out['ncall'])
+        self.total_fast_calls += int(out['fast_calls'])
+        self.total_accepted += int(out['accepted'])
+        self.total_rejected += int(out['rejected'])
+
+        if output_interval is not None and self.logs is not None:
+            self._save_samples(self.transform(
+                samples.reshape(-1, self.x_dim)).reshape(samples.shape),
+                loglikes)
+        if stats_interval is not None and mcmc_steps >= stats_interval:
+            self._chain_stats(self.transform(
+                samples.reshape(-1, self.x_dim)).reshape(samples.shape))
+        if plot_trace:
+            self._plot_trace(samples, latent)
+
+        return samples, latent, derived_s, loglikes, scale_out, ncall
+
+    # ---------------------------------------------------------- rejection
+
+    def _rejection_prior_sample(self, loglstar, num_trials=None,
+                                prior=None):
+        """Batched prior rejection (reference ``sampler.py:529-543``).
+        Returns (samples, loglikes, derived, effective_ncall) where samples
+        contains the *successful* trials (may be empty)."""
+        prior = prior if prior is not None else self._user_prior
+        trials = int(num_trials) if num_trials else 512
+        x, logl, derived, ok = self.kernels.rejection_prior(
+            prior, self._next_key(), loglstar, trials)
+        ok = np.asarray(ok)
+        self.total_calls += trials
+        n_ok = int(ok.sum())
+        nc = trials / max(n_ok, 1) if n_ok > 0 else trials
+        return (np.asarray(x)[ok], np.asarray(logl, dtype=np.float64)[ok],
+                np.asarray(derived, dtype=np.float64)[ok], nc)
+
+    def _rejection_flow_sample(self,
+                               init_samples,
+                               loglstar,
+                               enlargement_factor=1.1,
+                               constant_efficiency_factor=None,
+                               cache=False,
+                               num_trials=512):
+        """Batched flow rejection sampling (reference
+        ``sampler.py:545-607``)."""
+        self.trainer.ensure_init()
+        params = self.trainer.params
+        if not cache or self._max_log_det_j is None:
+            mld, mr = self.kernels.envelope(params, init_samples,
+                                            enlargement_factor)
+            self._max_log_det_j = float(mld)
+            self._max_r = float(mr)
+        if constant_efficiency_factor is not None:
+            enlargement_factor = (
+                1.0 / constant_efficiency_factor) ** (1.0 / self.x_dim)
+        x, logl, derived, ok, n_evals = self.kernels.rejection_flow(
+            params, self._next_key(), loglstar, self._max_log_det_j,
+            self._max_r, enlargement_factor, int(num_trials))
+        ok = np.asarray(ok)
+        self.total_calls += int(n_evals)
+        n_ok = int(ok.sum())
+        nc = int(n_evals) / max(n_ok, 1) if n_ok > 0 else max(int(n_evals), 1)
+        return (np.asarray(x)[ok], np.asarray(logl, dtype=np.float64)[ok],
+                np.asarray(derived, dtype=np.float64)[ok], nc)
+
+    def _density_sample(self, loglstar, num_trials=512):
+        """Batched flow-density sampling (reference ``sampler.py:609-630``)."""
+        self.trainer.ensure_init()
+        x, logl, derived, ok, n_evals = self.kernels.density(
+            self.trainer.params, self._next_key(), loglstar, int(num_trials))
+        ok = np.asarray(ok)
+        self.total_calls += int(n_evals)
+        n_ok = int(ok.sum())
+        nc = int(n_evals) / max(n_ok, 1) if n_ok > 0 else max(int(n_evals), 1)
+        return (np.asarray(x)[ok], np.asarray(logl, dtype=np.float64)[ok],
+                np.asarray(derived, dtype=np.float64)[ok], nc)
+
+    # ------------------------------------------------------------ ensemble
+
+    def _ensemble_sample(self,
+                         mcmc_steps,
+                         num_walkers,
+                         init_samples=None,
+                         init_loglikes=None,
+                         init_derived=None,
+                         loglstar=None,
+                         max_start_tries=100,
+                         output_interval=None,
+                         stats_interval=None,
+                         plot_trace=False,
+                         moves=None,
+                         show_progress=False):
+        """Latent-space ensemble sampling with the native stretch move
+        (reference delegates to emcee, ``sampler.py:632-724``)."""
+        del moves, show_progress
+        self.trainer.ensure_init()
+        params = self.trainer.params
+
+        if init_samples is not None:
+            num_walkers = init_samples.shape[0]
+            z, _ = self.trainer.model.forward(
+                params, jnp.asarray(init_samples, jnp.float32))
+        else:
+            for i in range(max_start_tries):
+                z = self.trainer.model.sample_base(self._next_key(),
+                                                   num_walkers)
+                x, _ = self.trainer.model.inverse(params, z)
+                if np.all(self.prior(np.asarray(x)) > -1e30):
+                    break
+                if i == max_start_tries - 1:
+                    raise RuntimeError('Could not find starting value')
+
+        out = self.kernels.stretch(params, self._next_key(), z,
+                                   mcmc_steps=mcmc_steps, loglstar=loglstar)
+        samples = np.asarray(out['samples'], dtype=np.float64)
+        latent = np.asarray(out['latent'], dtype=np.float64)
+        derived = np.asarray(out['derived'], dtype=np.float64)
+        loglikes = np.asarray(out['loglikes'], dtype=np.float64)
+        ncall = int(out['ncall'])
+        self.total_calls += ncall
+        self.total_accepted += int(out['accepted'])
+        self.total_rejected += int(out['rejected'])
+
+        if stats_interval is not None and mcmc_steps >= stats_interval:
+            self._chain_stats(self.transform(
+                samples.reshape(-1, self.x_dim)).reshape(samples.shape))
+        if plot_trace:
+            self._plot_trace(samples, latent)
+
+        return samples, latent, derived, loglikes, ncall
+
+    # ------------------------------------------------------------- stats/io
+
+    def _chain_stats(self, samples, mean=None, std=None, step=None):
+        """(reference ``sampler.py:474-492``)"""
+        acceptance = acceptance_rate(samples)
+        if mean is None:
+            mean = np.mean(samples.reshape(-1, samples.shape[2]), axis=0)
+        if std is None:
+            std = np.std(samples.reshape(-1, samples.shape[2]), axis=0)
+        ess = effective_sample_size(samples, mean, std ** 2)
+        jump = mean_jump_distance(samples)
+        if samples.shape[0] > 1:
+            gelman_rubin_diagnostic(samples)
+        prefix = '' if step is None else 'Step [%d] ' % step
+        self.logger.info(
+            '%sAcceptance [%5.4f] min ESS [%5.4f] max ESS [%5.4f] average '
+            'jump [%5.4f]' % (prefix, acceptance, np.min(ess), np.max(ess),
+                              jump))
+        return acceptance, ess, jump
+
+    def _save_samples(self, samples, loglikes, weights=None,
+                      derived_samples=None, min_weight=1e-30,
+                      outfile='chain'):
+        """getdist/CosmoMC text chains (reference ``sampler.py:494-527``):
+        rows of `weight -loglike params [derived]`."""
+        if self.logs is None:
+            return
+        if weights is None:
+            weights = np.ones_like(loglikes)
+
+        def write_one(path, s, ll, w, d):
+            cols = [np.maximum(w, min_weight)[:, None], -ll[:, None], s]
+            if d is not None:
+                cols.append(d)
+            mat = np.hstack(cols)
+            header = ''
+            if self.param_names is not None:
+                header = 'weight minusloglike ' + ' '.join(self.param_names)
+            np.savetxt(path, mat, fmt='%.5E', header=header,
+                       comments='#' if header else '')
+
+        if samples.ndim == 2:
+            write_one(os.path.join(self.logs['chains'], outfile + '.txt'),
+                      samples, loglikes, weights, derived_samples)
+        else:
+            for ib in range(samples.shape[0]):
+                write_one(
+                    os.path.join(self.logs['chains'],
+                                 outfile + '_%s.txt' % (ib + 1)),
+                    samples[ib], loglikes[ib], weights[ib],
+                    None if derived_samples is None else derived_samples[ib])
+
+    def _plot_trace(self, samples, latent_samples):
+        """(reference ``sampler.py:465-472``)"""
+        if self.log_dir is None:
+            return
+        try:
+            import matplotlib
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return
+        fig, ax = plt.subplots(self.x_dim, 2,
+                               figsize=(10, max(self.x_dim, 2)), sharex=True)
+        ax = np.atleast_2d(ax)
+        for i in range(self.x_dim):
+            ax[i, 0].plot(samples[0, :, i])
+            ax[i, 1].plot(latent_samples[0, :1000, i])
+        plt.savefig(os.path.join(self.log_dir, 'plots', 'trace.png'))
+        plt.close(fig)

@@ -1,0 +1,221 @@
+"""Ensemble sampler: affine-invariant ensemble MCMC in flow latent space.
+
+Equivalent of the reference ``EnsembleSampler`` (``nnest/ensemble.py:20-231``)
+with the emcee dependency replaced by a native, fully vectorized stretch-move
+kernel (kernels.py) so the whole walker trajectory is one compiled program:
+
+- ``bootstrap()``: plain ensemble run in REAL space → autocorrelation
+  thinning → iterate [train flow → latent-space ensemble → re-thin]
+  (reference ``ensemble.py:81-184``; autocorr thinning replaces
+  ``emcee.get_autocorr_time``, getdist ``makeSingleSamples`` replaced by
+  direct unit-weight thinning).
+- ``run()``: normalize training samples, train, one latent ensemble run
+  (reference ``ensemble.py:186-231``).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nnest_tpu.samplers.base import Sampler
+from nnest_tpu.utils.evaluation import integrated_autocorr_time
+
+
+def real_space_stretch(log_prob_fn, key, x0, mcmc_steps, a=2.0):
+    """Generic Goodman–Weare stretch ensemble on an arbitrary pure-JAX
+    log-prob (used for the real-space bootstrap phase, reference
+    ``ensemble.py:115-143``). Returns chains (walkers, steps+1, dim) and
+    log-probs."""
+    num_walkers, dim = x0.shape
+    half = num_walkers // 2
+    assert num_walkers % 2 == 0
+
+    def half_update(xs_move, xs_other, lp_move, k):
+        kz, kc, ku = jax.random.split(k, 3)
+        n = xs_move.shape[0]
+        u = jax.random.uniform(kz, (n,))
+        zeta = ((a - 1.0) * u + 1.0) ** 2 / a
+        partner = xs_other[jax.random.randint(kc, (n,), 0,
+                                              xs_other.shape[0])]
+        prop = partner + zeta[:, None] * (xs_move - partner)
+        lp_prop = log_prob_fn(prop)
+        log_ratio = (dim - 1.0) * jnp.log(zeta) + lp_prop - lp_move
+        acc = jax.random.uniform(ku, (n,)) < jnp.exp(
+            jnp.minimum(log_ratio, 0.0))
+        return (jnp.where(acc[:, None], prop, xs_move),
+                jnp.where(acc, lp_prop, lp_move), acc)
+
+    def step(carry, k):
+        x, lp = carry
+        k1, k2 = jax.random.split(k)
+        x_a, lp_a, acc_a = half_update(x[:half], x[half:], lp[:half], k1)
+        x_b, lp_b, acc_b = half_update(x[half:], x_a, lp[half:], k2)
+        x = jnp.concatenate([x_a, x_b], 0)
+        lp = jnp.concatenate([lp_a, lp_b], 0)
+        n_acc = jnp.sum(acc_a.astype(jnp.int32)) + \
+            jnp.sum(acc_b.astype(jnp.int32))
+        return (x, lp), (x, lp, n_acc)
+
+    lp0 = log_prob_fn(x0)
+    keys = jax.random.split(key, mcmc_steps)
+    _, (xs, lps, n_accs) = jax.lax.scan(step, (x0, lp0), keys)
+    chains = jnp.swapaxes(jnp.concatenate([x0[None], xs], 0), 0, 1)
+    lp_chain = jnp.swapaxes(jnp.concatenate([lp0[None], lps], 0), 0, 1)
+    return chains, lp_chain, jnp.sum(n_accs)
+
+
+class EnsembleSampler(Sampler):
+
+    def __init__(self,
+                 x_dim,
+                 loglike,
+                 prior=None,
+                 append_run_num=True,
+                 hidden_dim=16,
+                 num_slow=0,
+                 num_derived=0,
+                 batch_size=100,
+                 flow='spline',
+                 num_blocks=3,
+                 num_layers=1,
+                 learning_rate=0.001,
+                 log_dir='logs/test',
+                 base_dist=None,
+                 scale='',
+                 use_gpu=False,
+                 trainer=None,
+                 transform_prior=True,
+                 oversample_rate=-1,
+                 log_level=logging.INFO,
+                 param_names=None,
+                 seed=0):
+        if not hasattr(self, 'sampler'):
+            self.sampler = 'ensemble'
+        super().__init__(
+            x_dim, loglike, prior=prior, append_run_num=append_run_num,
+            hidden_dim=hidden_dim, num_slow=num_slow,
+            num_derived=num_derived, batch_size=batch_size, flow=flow,
+            num_blocks=num_blocks, num_layers=num_layers,
+            learning_rate=learning_rate, log_dir=log_dir, use_gpu=use_gpu,
+            base_dist=base_dist, scale=scale, trainer=trainer,
+            transform_prior=transform_prior, oversample_rate=oversample_rate,
+            log_level=log_level, param_names=param_names, seed=seed)
+        if self.single_or_primary_process:
+            self._save_params()
+
+    # ------------------------------------------------------------ bootstrap
+
+    def bootstrap(self,
+                  mcmc_steps,
+                  num_walkers,
+                  iters=1,
+                  thin=10,
+                  stats_interval=10,
+                  output_interval=None,
+                  initial_jitter=0.01,
+                  final_jitter=0.01,
+                  init_samples=None,
+                  moves=None):
+        """Alternate plain-ensemble and flow-guided latent-ensemble rounds
+        (reference ``ensemble.py:81-184``)."""
+        del moves  # native stretch move; emcee move zoo not required
+
+        if init_samples is None:
+            if self.sample_prior is None:
+                raise ValueError('Prior does not have sample method')
+            init_samples = self.sample_prior(num_walkers)
+        init_samples = np.asarray(init_samples, dtype=np.float32)
+        num_walkers = init_samples.shape[0]
+
+        # Phase 1: real-space ensemble (reference ensemble.py:137-143).
+        kern = self.kernels  # ensures jax closures exist
+        like_fn, prior_fn = kern.like_fn, kern.prior_fn
+
+        def log_prob(x):
+            logl, _ = like_fn(x)
+            return logl + prior_fn(x)
+
+        self.logger.info('Performing initial ensemble run with [%d] walkers'
+                         % num_walkers)
+        run_fn = jax.jit(lambda key, x0: real_space_stretch(
+            log_prob, key, x0, mcmc_steps))
+        chains, lps, n_acc = run_fn(self._next_key(),
+                                    jnp.asarray(init_samples))
+        chains = np.asarray(chains, dtype=np.float64)
+        self.total_calls += mcmc_steps * num_walkers
+        self.logger.info('Initial acceptance [%5.4f]' % (
+            float(n_acc) / (mcmc_steps * num_walkers)))
+        self._chain_stats(chains)
+
+        # Autocorrelation thinning (reference ensemble.py:146-147).
+        tau = integrated_autocorr_time(chains)
+        discard = min(int(2 * np.max(tau)), chains.shape[1] // 2)
+        step_thin = max(int(0.5 * np.min(tau)), 1)
+        training_samples = chains[:, discard::step_thin, :].reshape(
+            -1, self.x_dim)
+
+        for it in range(1, iters + 1):
+            if iters > 1:
+                jitter = initial_jitter + (it - 1) * (
+                    final_jitter - initial_jitter) / (iters - 1)
+            else:
+                jitter = initial_jitter
+
+            mean = np.mean(training_samples, axis=0)
+            std = np.std(training_samples, axis=0)
+            normalized = (training_samples - mean) / std
+            self.transform = lambda x: x * std + mean
+            self.invalidate_kernels()
+            self.trainer.train(normalized, jitter=jitter)
+
+            samples, latent, derived, loglikes, ncall = \
+                self._ensemble_sample(mcmc_steps, num_walkers,
+                                      stats_interval=stats_interval,
+                                      output_interval=output_interval)
+
+            samples = self.transform(
+                samples.reshape(-1, self.x_dim)).reshape(samples.shape)
+            self._chain_stats(samples)
+            training_samples = samples[:, ::thin, :].reshape(-1, self.x_dim)
+
+        return training_samples
+
+    # ------------------------------------------------------------------ run
+
+    def run(self,
+            mcmc_steps,
+            num_walkers,
+            training_samples,
+            stats_interval=10,
+            output_interval=None,
+            initial_jitter=0.01,
+            final_jitter=0.01,
+            init_samples=None):
+        """Train on provided samples, then one latent ensemble run
+        (reference ``ensemble.py:186-231``)."""
+        training_samples = np.asarray(training_samples, dtype=np.float64)
+        mean = np.mean(training_samples, axis=0)
+        std = np.std(training_samples, axis=0)
+        normalized = (training_samples - mean) / std
+        self.transform = lambda x: x * std + mean
+        self.invalidate_kernels()
+        self.trainer.train(normalized, jitter=initial_jitter)
+
+        samples, latent, derived, loglikes, ncall = self._ensemble_sample(
+            mcmc_steps, num_walkers, init_samples=init_samples,
+            stats_interval=stats_interval, output_interval=output_interval)
+
+        samples = self.transform(
+            samples.reshape(-1, self.x_dim)).reshape(samples.shape)
+        if mcmc_steps > 1:
+            self._chain_stats(samples)
+
+        self.samples = np.concatenate((samples, derived), axis=2)
+        self.latent_samples = latent
+        self.loglikes = loglikes
+        self.logger.info('ncall: {:d}\n'.format(self.total_calls))
+        return self.samples

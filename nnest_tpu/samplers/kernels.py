@@ -1,0 +1,407 @@
+"""Latent-space sampling kernels, fully device-resident.
+
+TPU-native redesign of the reference's sampling kernels
+(``nnest/sampler.py:229-724``). The reference runs a host Python loop over
+MCMC steps with a device round-trip per proposal (``sampler.py:291-452``);
+here the entire multi-chain trajectory is ONE jitted ``lax.scan`` with
+``vmap``-style batched chains, accept/reject as ``jnp.where`` masks, the
+likelihood constraint folded in, and dynamic step-size adaptation carried
+through the scan. Rejection/density sampling become batched trial programs
+instead of one-candidate-at-a-time host loops (``sampler.py:529-630``), and
+the emcee stretch move is implemented natively so the ensemble path never
+leaves the device (``sampler.py:632-724``).
+
+Likelihood-call accounting matches the reference: in constrained mode the
+reference only evaluates the likelihood for chains whose prior+Jacobian
+proposal was accepted (``sampler.py:358-368``), so ``ncall`` counts exactly
+those lanes even though the vectorized kernel computes every lane (free on
+TPU for batched pure-JAX likelihoods).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _accept_mask(key, log_ratio):
+    ratio = jnp.exp(jnp.minimum(log_ratio, 0.0))
+    return jax.random.uniform(key, log_ratio.shape) < ratio
+
+
+class LatentKernels:
+    """Kernels bound to a flow model + pure-JAX likelihood/prior closures.
+
+    Args:
+      model: FlowModel (params passed per call).
+      like_fn: (batch, dim) → ((batch,) loglike, (batch, num_derived)).
+        Pure JAX; non-finite loglikes are clamped to -1e100 by the caller's
+        wrapper (the reference's safe_loglike, ``sampler.py:128``).
+      prior_fn: (batch, dim) → (batch,) log prior (0/-inf box indicator for
+        nested sampling).
+      num_slow / oversample_rate: fast-slow proposal masking
+        (``sampler.py:311-315``).
+    """
+
+    def __init__(self, model, like_fn, prior_fn, num_slow=0,
+                 oversample_rate=1.0, num_derived=0):
+        self.model = model
+        self.like_fn = like_fn
+        self.prior_fn = prior_fn
+        self.num_slow = num_slow
+        self.oversample_rate = oversample_rate
+        self.num_derived = num_derived
+        dim = model.dim
+        # 1 on fast dims, 0 on slow dims: multiplying dz by this freezes the
+        # slow block for a fast-only move.
+        self._fast_mask = jnp.asarray(
+            [0.0] * num_slow + [1.0] * (dim - num_slow), dtype=jnp.float32)
+
+        self._mcmc = jax.jit(self._mcmc_impl, static_argnames=(
+            'mcmc_steps', 'constrained', 'dynamic_step_size',
+            'prior_volume_steps'))
+        self._rejection_prior = None  # built lazily (needs a prior sampler)
+        self._rejection_flow = jax.jit(self._rejection_flow_impl,
+                                       static_argnames=('num_trials',
+                                                        'use_usample'))
+        self._density = jax.jit(self._density_impl,
+                                static_argnames=('num_trials',))
+        self._envelope = jax.jit(self._envelope_impl)
+        self._stretch = jax.jit(self._stretch_impl,
+                                static_argnames=('mcmc_steps',
+                                                 'constrained'))
+
+    # ------------------------------------------------------------- MCMC ---
+
+    def mcmc(self, params, key, init_z, init_logl, init_derived,
+             init_logl_prior, *, loglstar=None, step_size, mcmc_steps,
+             dynamic_step_size=False, prior_volume_steps=1):
+        """Vectorized multi-chain latent Metropolis.
+
+        Two modes as in the reference: hard-likelihood-constraint (nested
+        sampling; accept on prior+Jacobian ratio then require
+        logl > loglstar, ``sampler.py:299-370``) and full
+        Metropolis-Hastings (ratio = ΔlogdetJ + Δlogl + Δlogprior,
+        ``sampler.py:372-416``).
+
+        Returns dict with chains stacked (num_chains, mcmc_steps+1, ...) and
+        scalar counters.
+        """
+        constrained = loglstar is not None
+        ll_star = jnp.float32(loglstar if constrained else -jnp.inf)
+        return self._mcmc(params, key, init_z, init_logl, init_derived,
+                          init_logl_prior, ll_star,
+                          jnp.float32(step_size), mcmc_steps=mcmc_steps,
+                          constrained=constrained,
+                          dynamic_step_size=dynamic_step_size,
+                          prior_volume_steps=prior_volume_steps)
+
+    def _mcmc_impl(self, params, key, z0, logl0, derived0, logl_prior0,
+                   loglstar, step_size, *, mcmc_steps, constrained,
+                   dynamic_step_size, prior_volume_steps):
+        model, like_fn, prior_fn = self.model, self.like_fn, self.prior_fn
+        num_chains = z0.shape[0]
+        x0, ldj0 = model.inverse(params, z0)
+
+        def propose(z, scale, k):
+            kdz, kfast = jax.random.split(k)
+            dz = jax.random.normal(kdz, z.shape) * scale
+            fast = jnp.logical_and(
+                self.num_slow > 0,
+                jax.random.uniform(kfast) < self.oversample_rate)
+            dz = jnp.where(fast, dz * self._fast_mask, dz)
+            return z + dz, fast
+
+        def step(carry, k):
+            (z, x, ldj, logl, logl_prior, derived, scale, acc_ctr,
+             rej_ctr, ncall, fast_calls) = carry
+
+            if constrained:
+                # Inner loop: find a move passing prior+Jacobian
+                # (prior_volume_steps proposals, reference
+                # sampler.py:307-343), then one likelihood check.
+                def inner(i, state):
+                    z_pr, x_pr, ldj_pr, any_mask, fast_last, kk = state
+                    kk, kp, ku = jax.random.split(kk, 3)
+                    z_prop, fast = propose(z, scale, kp)
+                    x_prop, ldj_prop = model.inverse(params, z_prop)
+                    log_ratio = ldj_prop - ldj
+                    lp_prior = prior_fn(x_prop)
+                    log_ratio = jnp.where(lp_prior < -1e30, -jnp.inf,
+                                          log_ratio)
+                    m = _accept_mask(ku, log_ratio)
+                    mcol = m[:, None]
+                    return (jnp.where(mcol, z_prop, z_pr),
+                            jnp.where(mcol, x_prop, x_pr),
+                            jnp.where(m, ldj_prop, ldj_pr),
+                            jnp.logical_or(any_mask, m), fast, kk)
+
+                k, kin = jax.random.split(k)
+                init = (z, x, ldj, jnp.zeros(num_chains, bool),
+                        jnp.asarray(False), kin)
+                z_pr, x_pr, ldj_pr, mask1, fast, _ = jax.lax.fori_loop(
+                    0, prior_volume_steps, inner, init)
+
+                logl_prop, derived_prop = like_fn(x_pr)
+                lp_prior_pr = prior_fn(x_pr)
+                n_evals = jnp.sum(mask1.astype(jnp.int32))
+                ncall = ncall + n_evals
+                fast_calls = fast_calls + jnp.where(fast, n_evals, 0)
+                accept = jnp.logical_and(
+                    mask1, jnp.logical_and(jnp.isfinite(logl_prop),
+                                           logl_prop > loglstar))
+                z_new, x_new, ldj_new = z_pr, x_pr, ldj_pr
+                lp_prior_new = lp_prior_pr
+            else:
+                # Full MH ratio (reference sampler.py:372-416).
+                k, kp, ku = jax.random.split(k, 3)
+                z_new, fast = propose(z, scale, kp)
+                x_new, ldj_new = model.inverse(params, z_new)
+                logl_prop, derived_prop = like_fn(x_new)
+                lp_prior_new = prior_fn(x_new)
+                log_ratio = (ldj_new - ldj) + (logl_prop - logl) \
+                    + (lp_prior_new - logl_prior)
+                accept = _accept_mask(ku, log_ratio)
+                ncall = ncall + num_chains
+                fast_calls = fast_calls + jnp.where(fast, num_chains, 0)
+
+            acol = accept[:, None]
+            z = jnp.where(acol, z_new, z)
+            x = jnp.where(acol, x_new, x)
+            ldj = jnp.where(accept, ldj_new, ldj)
+            logl = jnp.where(accept, logl_prop, logl)
+            logl_prior = jnp.where(accept, lp_prior_new, logl_prior)
+            derived = jnp.where(acol, derived_prop, derived)
+
+            n_acc = jnp.sum(accept.astype(jnp.int32))
+            if dynamic_step_size:
+                # Adapt toward 50% acceptance (reference sampler.py:422-431).
+                win = 2 * n_acc > num_chains
+                acc_ctr = acc_ctr + jnp.where(win, 1, 0)
+                rej_ctr = rej_ctr + jnp.where(win, 0, 1)
+                scale = jnp.where(
+                    acc_ctr > rej_ctr,
+                    scale * jnp.exp(1.0 / (1.0 + acc_ctr)), scale)
+                scale = jnp.where(
+                    acc_ctr < rej_ctr,
+                    scale / jnp.exp(1.0 / (1.0 + rej_ctr)), scale)
+
+            new_carry = (z, x, ldj, logl, logl_prior, derived, scale,
+                         acc_ctr, rej_ctr, ncall, fast_calls)
+            out = (x, z, logl, derived, n_acc)
+            return new_carry, out
+
+        keys = jax.random.split(key, mcmc_steps)
+        carry0 = (z0, x0, ldj0, logl0, logl_prior0, derived0,
+                  step_size, jnp.float32(0.0), jnp.float32(0.0),
+                  jnp.int32(0), jnp.int32(0))
+        carry, (xs, zs, logls, deriveds, n_accs) = jax.lax.scan(
+            step, carry0, keys)
+
+        # Prepend the initial state so chain length is steps+1, then move the
+        # chain axis first: (chains, steps+1, dim).
+        def stack(first, seq):
+            return jnp.swapaxes(
+                jnp.concatenate([first[None], seq], axis=0), 0, 1)
+
+        total_acc = jnp.sum(n_accs)
+        return {
+            'samples': stack(x0, xs),
+            'latent': stack(z0, zs),
+            'loglikes': stack(logl0, logls),
+            'derived': stack(derived0, deriveds),
+            'scale': carry[6],
+            'ncall': carry[9],
+            'fast_calls': carry[10],
+            'accepted': total_acc,
+            'rejected': mcmc_steps * z0.shape[0] - total_acc,
+        }
+
+    # ----------------------------------------------------- rejection/prior
+
+    def rejection_prior(self, prior, key, loglstar, num_trials):
+        """Batched brute-force rejection from the prior (reference
+        ``sampler.py:529-543``): draw ``num_trials`` prior points, evaluate
+        all, return successes and the effective cost
+        ncall = trials/successes."""
+        if self._rejection_prior is None:
+            def impl(key, loglstar, num_trials):
+                x = prior.sample_jax(key, num_trials)
+                logl, derived = self.like_fn(x)
+                ok = jnp.logical_and(jnp.isfinite(logl), logl > loglstar)
+                return x, logl, derived, ok
+            self._rejection_prior = jax.jit(
+                impl, static_argnames=('num_trials',))
+        return self._rejection_prior(key, jnp.float32(loglstar), num_trials)
+
+    # ------------------------------------------------------ rejection/flow
+
+    def _envelope_impl(self, params, live_u, enlargement_factor):
+        """Envelope cache for flow rejection sampling (reference
+        ``sampler.py:555-560``): max |det dx/dz| over live points (the
+        enlargement factor scales the log, as in the reference) and the max
+        latent radius."""
+        z, ldj = self.model.forward(params, live_u)
+        max_log_det_j = enlargement_factor * jnp.max(-ldj)
+        max_r = jnp.max(jnp.linalg.norm(z, axis=1))
+        return max_log_det_j, max_r
+
+    def envelope(self, params, live_u, enlargement_factor=1.1):
+        return self._envelope_impl(params, jnp.asarray(live_u, jnp.float32),
+                                   jnp.float32(enlargement_factor))
+
+    def rejection_flow(self, params, key, loglstar, max_log_det_j, max_r,
+                       enlargement_factor, num_trials):
+        """Batched latent rejection sampling with Jacobian envelope
+        (reference ``sampler.py:545-607``). Returns per-trial accept flags
+        and the count of likelihood evaluations actually incurred (only
+        candidates passing prior+Jacobian cost a call)."""
+        use_usample = getattr(self.model.base_dist, 'has_usample', False)
+        return self._rejection_flow(
+            params, key, jnp.float32(loglstar), jnp.float32(max_log_det_j),
+            jnp.float32(max_r), jnp.float32(enlargement_factor),
+            num_trials=num_trials, use_usample=use_usample)
+
+    def _rejection_flow_impl(self, params, key, loglstar, max_log_det_j,
+                             max_r, enlargement_factor, *, num_trials,
+                             use_usample):
+        model = self.model
+        dim = model.dim
+        kz, ku, kr = jax.random.split(key, 3)
+        if use_usample:
+            z = model.base_dist.usample(kz, num_trials) * enlargement_factor
+        else:
+            # Uniform in the latent ball of radius enlargement*max_r
+            # (reference sampler.py:578-581).
+            g = jax.random.normal(kz, (num_trials, dim))
+            r = jax.random.uniform(kr, (num_trials, 1)) ** (1.0 / dim)
+            g = g / jnp.linalg.norm(g, axis=1, keepdims=True)
+            z = enlargement_factor * max_r * g * r
+        x, ldj = model.inverse(params, z)
+        ok_prior = self.prior_fn(x) > -1e30
+        log_ratio = ldj - max_log_det_j
+        jac_ok = _accept_mask(ku, log_ratio)
+        evaluated = jnp.logical_and(ok_prior, jac_ok)
+        logl, derived = self.like_fn(x)
+        ok = jnp.logical_and(
+            evaluated,
+            jnp.logical_and(jnp.isfinite(logl), logl > loglstar))
+        n_evals = jnp.sum(evaluated.astype(jnp.int32))
+        return x, logl, derived, ok, n_evals
+
+    # ------------------------------------------------------------- density
+
+    def density(self, params, key, loglstar, num_trials):
+        """Batched flow-density sampling (reference ``sampler.py:609-630``):
+        z ~ base, x = flow⁻¹(z), keep if inside prior and logl > loglstar."""
+        return self._density(params, key, jnp.float32(loglstar),
+                             num_trials=num_trials)
+
+    def _density_impl(self, params, key, loglstar, *, num_trials):
+        z = self.model.base_dist.sample(key, num_trials)
+        x, _ = self.model.inverse(params, z)
+        ok_prior = self.prior_fn(x) > -1e30
+        logl, derived = self.like_fn(x)
+        ok = jnp.logical_and(
+            ok_prior, jnp.logical_and(jnp.isfinite(logl), logl > loglstar))
+        n_evals = jnp.sum(ok_prior.astype(jnp.int32))
+        return x, logl, derived, ok, n_evals
+
+    # ------------------------------------------------------------ ensemble
+
+    def latent_log_prob(self, params, z, loglstar=None):
+        """Latent-space ensemble target (reference ``sampler.py:674-687``):
+        logl(x) + log|det dx/dz| + logprior(x), or the constrained variant
+        (logdet+prior weight subject to logl > loglstar)."""
+        x, ldj = self.model.inverse(params, z)
+        logl, derived = self.like_fn(x)
+        lp_prior = self.prior_fn(x)
+        if loglstar is not None:
+            lp = jnp.where(logl > loglstar, ldj + lp_prior, -jnp.inf)
+        else:
+            lp = logl + ldj + lp_prior
+        return lp, logl, derived
+
+    def stretch(self, params, key, z0, *, mcmc_steps, loglstar=None, a=2.0):
+        """Affine-invariant ensemble sampler (Goodman & Weare stretch move),
+        the native replacement for emcee in the latent space
+        (``sampler.py:689-705``). Red-black half-ensemble updates, fully
+        vectorized, one lax.scan over steps."""
+        constrained = loglstar is not None
+        ll_star = jnp.float32(loglstar if constrained else -jnp.inf)
+        return self._stretch(params, key, z0, ll_star, jnp.float32(a),
+                             mcmc_steps=mcmc_steps, constrained=constrained)
+
+    def _stretch_impl(self, params, key, z0, loglstar, a, *, mcmc_steps,
+                      constrained):
+        ll = loglstar if constrained else None
+        num_walkers, dim = z0.shape
+        half = num_walkers // 2
+        assert num_walkers % 2 == 0, 'stretch move needs an even walker count'
+
+        lp0, logl0, derived0 = self.latent_log_prob(params, z0, ll)
+
+        def half_update(zs_move, zs_other, lp_move, logl_move, der_move, k):
+            kz, kc, ku = jax.random.split(k, 3)
+            n = zs_move.shape[0]
+            # g(ζ) ∝ 1/√ζ on [1/a, a]: ζ = ((a-1)u + 1)² / a
+            u = jax.random.uniform(kz, (n,))
+            zeta = ((a - 1.0) * u + 1.0) ** 2 / a
+            partner = jax.random.randint(kc, (n,), 0, zs_other.shape[0])
+            zp = zs_other[partner]
+            prop = zp + zeta[:, None] * (zs_move - zp)
+            lp_prop, logl_prop, der_prop = self.latent_log_prob(
+                params, prop, ll)
+            log_ratio = (dim - 1.0) * jnp.log(zeta) + lp_prop - lp_move
+            acc = _accept_mask(ku, log_ratio)
+            acol = acc[:, None]
+            return (jnp.where(acol, prop, zs_move),
+                    jnp.where(acc, lp_prop, lp_move),
+                    jnp.where(acc, logl_prop, logl_move),
+                    jnp.where(acol, der_prop, der_move),
+                    acc)
+
+        def step(carry, k):
+            z, lp, logl, derived = carry
+            k1, k2 = jax.random.split(k)
+            z_a, lp_a, ll_a, d_a, acc_a = half_update(
+                z[:half], z[half:], lp[:half], logl[:half], derived[:half],
+                k1)
+            z_b, lp_b, ll_b, d_b, acc_b = half_update(
+                z[half:], z_a, lp[half:], logl[half:], derived[half:], k2)
+            z = jnp.concatenate([z_a, z_b], axis=0)
+            lp = jnp.concatenate([lp_a, lp_b], axis=0)
+            logl = jnp.concatenate([ll_a, ll_b], axis=0)
+            derived = jnp.concatenate([d_a, d_b], axis=0)
+            n_acc = jnp.sum(acc_a.astype(jnp.int32)) + \
+                jnp.sum(acc_b.astype(jnp.int32))
+            return (z, lp, logl, derived), (z, logl, lp, derived, n_acc)
+
+        keys = jax.random.split(key, mcmc_steps)
+        _, (zs, logls, lps, deriveds, n_accs) = jax.lax.scan(
+            step, (z0, lp0, logl0, derived0), keys)
+
+        def stack(first, seq):
+            return jnp.swapaxes(
+                jnp.concatenate([first[None], seq], axis=0), 0, 1)
+
+        # Real-space chains recovered with one batched inverse over the whole
+        # trajectory instead of one per step.
+        latent = stack(z0, zs)
+        flat = latent.reshape(-1, dim)
+        xs_flat, _ = self.model.inverse(params, flat)
+        samples = xs_flat.reshape(latent.shape)
+
+        total_acc = jnp.sum(n_accs)
+        return {
+            'samples': samples,
+            'latent': latent,
+            'loglikes': stack(logl0, logls),
+            'log_probs': stack(lp0, lps),
+            'derived': stack(derived0, deriveds),
+            'ncall': mcmc_steps * num_walkers,
+            'accepted': total_acc,
+            'rejected': mcmc_steps * num_walkers - total_acc,
+        }

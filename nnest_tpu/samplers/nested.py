@@ -1,0 +1,497 @@
+"""Nested sampler: evidence (logZ) + posterior samples.
+
+Equivalent of the reference ``NestedSampler`` (``nnest/nested.py:24-510``).
+The inherently sequential contraction (worst point → evidence update →
+replacement) stays on host in float64 — TPU f32 is insufficient for the late-
+iteration logaddexp chains (``nested.py:280-293``) — while every inner
+computation (flow training, batched candidate generation via rejection /
+density / constrained-Metropolis kernels, likelihood evaluation) is a
+compiled device program.
+
+Strategy ladder, evidence/information updates, termination criterion,
+checkpoint artifact layout and results/chain files match the reference:
+- strategy selection + expiry (``nested.py:295-309``), switch triggers on
+  mean likelihood calls per accepted point (``nested.py:328-334,345-348``)
+- flow retrain every ``update_interval`` iterations (``nested.py:311-314``)
+- candidate-pool consumption across iterations (``nested.py:375-385``,
+  ``nested.py:429-439``)
+- evidence update and h accumulation (``nested.py:280-293``), shrink +
+  ``fraction_remain`` termination (``nested.py:458-464``), final live-point
+  integration (``nested.py:487-496``)
+- checkpoint/resume via ``checkpoint_<it>.txt`` JSON + ``active_*.npy`` +
+  ``saved_*.npy`` (``nested.py:166-195,250-260,473-485``), extended with the
+  flow params and PRNG key for exact resume.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import json
+import logging
+import os
+
+import jax
+import numpy as np
+
+from nnest_tpu.priors import UniformPrior
+from nnest_tpu.samplers.base import Sampler
+
+
+class NestedSampler(Sampler):
+
+    def __init__(self,
+                 x_dim,
+                 loglike,
+                 transform=None,
+                 append_run_num=True,
+                 hidden_dim=16,
+                 num_slow=0,
+                 num_derived=0,
+                 batch_size=100,
+                 flow='spline',
+                 num_blocks=3,
+                 num_layers=1,
+                 learning_rate=0.001,
+                 log_dir='logs/test',
+                 resume=True,
+                 base_dist=None,
+                 scale='',
+                 use_gpu=False,
+                 trainer=None,
+                 oversample_rate=-1,
+                 log_level=logging.INFO,
+                 param_names=None,
+                 num_live_points=1000,
+                 seed=0):
+        # The sampling unit cube is [-1, 1]^d (reference nested.py:76); the
+        # user transform maps it to physical space.
+        prior = UniformPrior(x_dim, -1.0, 1.0)
+        prior.seed(seed)
+        self.sampler = 'nested'
+
+        super().__init__(
+            x_dim, loglike, transform=transform, prior=prior,
+            append_run_num=append_run_num, hidden_dim=hidden_dim,
+            num_slow=num_slow, num_derived=num_derived,
+            batch_size=batch_size, flow=flow, num_blocks=num_blocks,
+            num_layers=num_layers, learning_rate=learning_rate,
+            log_dir=log_dir, resume=resume, use_gpu=use_gpu,
+            base_dist=base_dist, scale=scale, trainer=trainer,
+            transform_prior=False, oversample_rate=oversample_rate,
+            log_level=log_level, param_names=param_names, seed=seed)
+
+        self.num_live_points = num_live_points
+
+        if self.single_or_primary_process:
+            self._save_params({'num_live_points': num_live_points})
+            self.logger.info('Num live points [%d]' % self.num_live_points)
+            if self.logs is not None:
+                with open(os.path.join(self.logs['results'],
+                                       'results.csv'), 'w') as f:
+                    csv.writer(f).writerow(
+                        ['step', 'acceptance', 'min_ess', 'max_ess',
+                         'jump_distance', 'scale', 'loglstar', 'logz',
+                         'fraction_remain', 'ncall'])
+
+    # ------------------------------------------------------------------ run
+
+    def run(self,
+            strategy=None,
+            mcmc_steps=0,
+            mcmc_num_chains=10,
+            mcmc_dynamic_step_size=True,
+            max_iters=1000000,
+            update_interval=None,
+            log_interval=None,
+            dlogz=0.5,
+            train_iters=500,
+            volume_switch=-1.0,
+            step_size=0.0,
+            jitter=-1.0,
+            rejection_cache_interval=10,
+            rejection_enlargement_factor=1.1,
+            rejection_trials=None,
+            rejection_batch_size=512,
+            train_jitter_floor=0.0):
+        if strategy is None or len(strategy) == 0:
+            strategy = ['rejection_prior', 'mcmc']
+        expired = []
+        current_method = ''
+
+        if update_interval is None:
+            update_interval = max(1, round(0.5 * self.num_live_points))
+        else:
+            update_interval = round(update_interval)
+            if update_interval < 1:
+                raise ValueError('update_interval must be >= 1')
+
+        if log_interval is None:
+            log_interval = max(1, round(0.2 * self.num_live_points))
+        else:
+            log_interval = round(log_interval)
+            if log_interval < 1:
+                raise ValueError('log_interval must be >= 1')
+
+        if mcmc_steps <= 0:
+            mcmc_steps = 5 * self.x_dim
+        if step_size <= 0.0:
+            step_size = 1.0 / self.x_dim ** 0.5
+        if rejection_trials is not None:
+            rejection_batch_size = int(rejection_trials)
+
+        if self.single_or_primary_process:
+            self.logger.info('MCMC steps [%d]' % mcmc_steps)
+            self.logger.info('Initial scale [%5.4f]' % step_size)
+            self.logger.info('Volume switch [%5.4f]' % volume_switch)
+
+        state = self._load_checkpoint()
+        if state is not None:
+            (it, active_u, active_v, active_logl, active_derived, saved_v,
+             saved_logl, saved_logwt, logz, h, logvol, fraction_remain,
+             strategy, expired) = state
+            if self.single_or_primary_process:
+                self.logger.info('Resumed from checkpoint [%d]' % it)
+        else:
+            active_u = np.asarray(self.sample_prior(self.num_live_points),
+                                  dtype=np.float64)
+            active_v = np.asarray(self.transform(active_u), dtype=np.float64)
+            logl, derived = self.loglike(active_u)
+            active_logl = np.asarray(logl, dtype=np.float64)
+            active_derived = np.asarray(derived, dtype=np.float64)
+
+            if self.single_or_primary_process:
+                self.logger.info(
+                    'Step [0] max logl [%5.4e] vol [1.0] ncalls [%d]'
+                    % (np.max(active_logl), self.total_calls))
+
+            saved_v = []
+            saved_logl = []
+            saved_logwt = []
+            h = 0.0
+            logz = -1e300
+            logvol = float(np.log(1.0 - np.exp(-1.0 / self.num_live_points)))
+            fraction_remain = 1.0
+            it = 0
+            self._write_checkpoint(it, active_u, active_v, active_logl,
+                                   active_derived, saved_v, saved_logl,
+                                   saved_logwt, logz, h, logvol,
+                                   fraction_remain, strategy, expired)
+
+        first_time = True
+        need_pool = True
+        pool = None           # candidate pool: dict of arrays
+        pool_pos = 0
+        pool_is_chains = False
+        ncs = []
+        mean_calls = 0.0
+        mcmc_scale = step_size
+        accept_point = True
+
+        while fraction_remain > dlogz and it <= max_iters:
+
+            worst = int(np.argmin(active_logl))
+            logwt = logvol + active_logl[worst]
+            loglstar = float(active_logl[worst])
+            expected_vol = np.exp(-it / self.num_live_points)
+
+            if accept_point:
+                # Evidence and information update (nested.py:280-293).
+                logz_new = np.logaddexp(logz, logwt)
+                h = (np.exp(logwt - logz_new) * active_logl[worst]
+                     + np.exp(logz - logz_new) * (h + logz) - logz_new)
+                logz = logz_new
+                if self.num_derived > 0:
+                    saved_v.append(np.concatenate(
+                        (active_v[worst], active_derived[worst])))
+                else:
+                    saved_v.append(np.array(active_v[worst], copy=True))
+                saved_logwt.append(logwt)
+                saved_logl.append(active_logl[worst])
+                accept_point = False
+
+            # Strategy ladder (nested.py:300-309).
+            old_method = current_method
+            for method in strategy:
+                if method not in expired:
+                    current_method = method
+                    break
+            if current_method != old_method:
+                need_pool = True
+
+            def valid(method):
+                return method in strategy and method not in expired
+
+            if current_method != 'rejection_prior' and (
+                    first_time or it % update_interval == 0):
+                self.trainer.train(active_u.astype(np.float32),
+                                   max_iters=train_iters, jitter=jitter)
+                first_time = False
+
+            if current_method in ('rejection_prior', 'rejection_flow',
+                                  'density_flow'):
+                if need_pool:
+                    if current_method == 'rejection_prior':
+                        s, ll, ds, nc = self._rejection_prior_sample(
+                            loglstar, num_trials=rejection_batch_size)
+                    elif current_method == 'rejection_flow':
+                        s, ll, ds, nc = self._rejection_flow_sample(
+                            active_u.astype(np.float32), loglstar,
+                            enlargement_factor=rejection_enlargement_factor,
+                            cache=not (it % rejection_cache_interval == 0
+                                       or it % update_interval == 0),
+                            num_trials=rejection_batch_size)
+                    else:
+                        s, ll, ds, nc = self._density_sample(
+                            loglstar, num_trials=rejection_batch_size)
+
+                    # One ncs entry per produced candidate so the efficiency
+                    # window matches the reference's per-iteration cadence
+                    # (nested.py:327-328) despite batched generation.
+                    ncs.extend([nc] * min(max(s.shape[0], 1), 21))
+                    mean_calls = float(np.mean(ncs[-20:])) if len(ncs) > 20 \
+                        else 0.0
+
+                    # Efficiency-based strategy expiry (nested.py:330-334,
+                    # 345-348,357-360 — incl. the volume_switch trigger).
+                    switch = False
+                    if current_method == 'rejection_prior':
+                        switch = (0 <= volume_switch > expected_vol) or (
+                            volume_switch < 0 and mean_calls > mcmc_steps
+                            and valid('mcmc'))
+                    else:
+                        switch = mean_calls > mcmc_steps and valid('mcmc')
+                    if switch:
+                        self.logger.info(
+                            '%s no longer efficient, switching sampling '
+                            'method' % current_method)
+                        expired.append(current_method)
+                        ncs = []
+
+                    pool = {'u': s, 'logl': ll, 'derived': ds}
+                    pool_pos = 0
+                    pool_is_chains = False
+                    need_pool = False
+
+            elif current_method == 'mcmc':
+                if need_pool:
+                    idx = np.asarray(jax.random.randint(
+                        self._next_key(), (mcmc_num_chains,), 0,
+                        self.num_live_points))
+                    init_samples = active_u[idx, :]
+                    init_loglikes = active_logl[idx]
+                    init_derived = (active_derived[idx, :]
+                                    if self.num_derived > 0 else
+                                    np.empty((mcmc_num_chains, 0)))
+                    samples, latent, derived_s, loglikes, mcmc_scale, nc = \
+                        self._mcmc_sample(
+                            mcmc_steps, init_samples=init_samples,
+                            init_loglikes=init_loglikes,
+                            init_derived=init_derived, loglstar=loglstar,
+                            step_size=step_size,
+                            dynamic_step_size=mcmc_dynamic_step_size)
+                    pool = {'chains': samples, 'logl': loglikes,
+                            'derived': derived_s}
+                    pool_pos = 0
+                    pool_is_chains = True
+                    need_pool = False
+
+            # Consume the candidate pool (nested.py:375-385, 429-439).
+            if pool is not None:
+                if pool_is_chains:
+                    chains = pool['chains']
+                    n_rows = chains.shape[0]
+                    while pool_pos < n_rows:
+                        ib = pool_pos
+                        pool_pos += 1
+                        if pool_pos == n_rows:
+                            need_pool = True
+                        moved = np.all(chains[ib, 0, :] != chains[ib, -1, :])
+                        if moved and pool['logl'][ib, -1] > loglstar:
+                            active_u[worst] = chains[ib, -1, :]
+                            active_v[worst] = self.transform(
+                                active_u[worst])[0]
+                            active_logl[worst] = pool['logl'][ib, -1]
+                            if self.num_derived > 0:
+                                active_derived[worst] = \
+                                    pool['derived'][ib, -1, :]
+                            accept_point = True
+                            break
+                else:
+                    u = pool['u']
+                    n_rows = u.shape[0]
+                    while pool_pos < n_rows:
+                        ib = pool_pos
+                        pool_pos += 1
+                        if pool_pos == n_rows:
+                            need_pool = True
+                        if pool['logl'][ib] > loglstar:
+                            active_u[worst] = u[ib, :]
+                            active_v[worst] = self.transform(
+                                active_u[worst])[0]
+                            active_logl[worst] = pool['logl'][ib]
+                            if self.num_derived > 0:
+                                active_derived[worst] = \
+                                    pool['derived'][ib, :]
+                            accept_point = True
+                            break
+                    if n_rows == 0:
+                        need_pool = True
+
+            if accept_point:
+                # Shrink prior volume (nested.py:458-464).
+                logvol -= 1.0 / self.num_live_points
+                logz_remain = np.max(active_logl) - it / self.num_live_points
+                fraction_remain = np.logaddexp(logz, logz_remain) - logz
+                it += 1
+
+                if self.single_or_primary_process and \
+                        self.trainer.writer is not None:
+                    self.trainer.writer.add_scalar('logz', logz, it)
+
+                if it > 0 and it % log_interval == 0 and \
+                        self.single_or_primary_process:
+                    self.logger.info(
+                        'Step [%d] loglstar [%5.4e] maxlogl [%5.4e] logz '
+                        '[%5.4e] vol [%6.5e] ncalls [%d] scale [%5.4f] mean '
+                        'calls [%5.4f]' % (
+                            it, loglstar, np.max(active_logl), logz,
+                            expected_vol, self.total_calls, mcmc_scale,
+                            mean_calls))
+                    self._append_results_row(
+                        it, loglstar, logz, fraction_remain, mcmc_scale,
+                        pool, active_u)
+                    self.samples = np.asarray(saved_v)
+                    self.weights = np.exp(np.asarray(saved_logwt) - logz)
+                    self.loglikes = np.asarray(saved_logl)
+                    self._write_checkpoint(
+                        it, active_u, active_v, active_logl, active_derived,
+                        saved_v, saved_logl, saved_logwt, logz, h, logvol,
+                        fraction_remain, strategy, expired)
+                    self._save_samples(self.samples, self.loglikes,
+                                       weights=self.weights)
+
+        # Integrate the remaining live points (nested.py:487-496).
+        logvol = -len(saved_v) / self.num_live_points - \
+            np.log(self.num_live_points)
+        for i in range(self.num_live_points):
+            logwt = logvol + active_logl[i]
+            logz_new = np.logaddexp(logz, logwt)
+            h = (np.exp(logwt - logz_new) * active_logl[i]
+                 + np.exp(logz - logz_new) * (h + logz) - logz_new)
+            logz = logz_new
+            if self.num_derived > 0:
+                saved_v.append(np.concatenate(
+                    (active_v[i], active_derived[i])))
+            else:
+                saved_v.append(np.array(active_v[i]))
+            saved_logwt.append(logwt)
+            saved_logl.append(active_logl[i])
+
+        self.logz = logz
+        self.h = h
+        self.logzerr = float(np.sqrt(h / self.num_live_points))
+        self.niter = it + 1
+        self.samples = np.asarray(saved_v)
+        self.weights = np.exp(np.asarray(saved_logwt) - logz)
+        self.loglikes = np.asarray(saved_logl)
+
+        if self.single_or_primary_process and self.logs is not None:
+            with open(os.path.join(self.logs['results'], 'final.csv'),
+                      'w') as f:
+                w = csv.writer(f)
+                w.writerow(['niter', 'ncall', 'logz', 'logzerr', 'h'])
+                w.writerow([it + 1, self.total_calls, logz, self.logzerr, h])
+            self._save_samples(self.samples, self.loglikes,
+                               weights=self.weights)
+        if self.single_or_primary_process:
+            self.logger.info(
+                'niter: %d\n ncall: %d\n nsamples: %d\n logz: %6.3f +/- '
+                '%6.3f\n h: %6.3f' % (it + 1, self.total_calls,
+                                      len(saved_v), logz, self.logzerr, h))
+        return self.logz
+
+    # -------------------------------------------------------------- io
+
+    def _append_results_row(self, it, loglstar, logz, fraction_remain,
+                            scale, pool, active_u):
+        if self.logs is None:
+            return
+        acceptance, ess_min, ess_max, jump = 0.0, 0.0, 0.0, 0.0
+        if pool is not None and 'chains' in pool:
+            try:
+                acceptance, ess, jump = self._chain_stats(
+                    pool['chains'], mean=np.mean(active_u, axis=0),
+                    std=np.std(active_u, axis=0))
+                ess_min, ess_max = float(np.min(ess)), float(np.max(ess))
+            except Exception:
+                pass
+        with open(os.path.join(self.logs['results'], 'results.csv'),
+                  'a') as f:
+            csv.writer(f).writerow(
+                [it, acceptance, ess_min, ess_max, jump, scale, loglstar,
+                 logz, fraction_remain, self.total_calls])
+
+    def _write_checkpoint(self, it, active_u, active_v, active_logl,
+                          active_derived, saved_v, saved_logl, saved_logwt,
+                          logz, h, logvol, fraction_remain, strategy,
+                          expired):
+        if not self.single_or_primary_process or self.logs is None:
+            return
+        ck = self.logs['checkpoint']
+        np.save(os.path.join(ck, 'active_u_%s.npy' % it), active_u)
+        np.save(os.path.join(ck, 'active_v_%s.npy' % it), active_v)
+        np.save(os.path.join(ck, 'active_logl_%s.npy' % it), active_logl)
+        np.save(os.path.join(ck, 'active_derived_%s.npy' % it),
+                active_derived)
+        np.save(os.path.join(ck, 'saved_v.npy'), np.asarray(saved_v))
+        np.save(os.path.join(ck, 'saved_logl.npy'), np.asarray(saved_logl))
+        np.save(os.path.join(ck, 'saved_logwt.npy'), np.asarray(saved_logwt))
+        np.save(os.path.join(ck, 'rng_key.npy'),
+                np.asarray(jax.random.key_data(self._key)))
+        if self.trainer.params is not None:
+            self.trainer.save(os.path.join(ck, 'flow_params.pkl'))
+        with open(os.path.join(ck, 'checkpoint_%s.txt' % it), 'w') as f:
+            json.dump({'logz': logz, 'h': h, 'logvol': logvol,
+                       'ncall': self.total_calls,
+                       'fraction_remain': fraction_remain,
+                       'strategy': list(strategy),
+                       'expired_strategies': list(expired)}, f)
+
+    def _load_checkpoint(self):
+        """Resume scan (reference nested.py:166-195), extended with flow
+        params + PRNG state for exact resume."""
+        if not self.resume or self.logs is None or self.logs['created']:
+            return None
+        it = -1
+        for fpath in glob.glob(os.path.join(self.logs['checkpoint'],
+                                            'checkpoint_*.txt')):
+            idx = int(os.path.basename(fpath)
+                      .split('checkpoint_')[1].split('.txt')[0])
+            it = max(it, idx)
+        if it < 0:
+            return None
+        ck = self.logs['checkpoint']
+        with open(os.path.join(ck, 'checkpoint_%s.txt' % it)) as f:
+            data = json.load(f)
+        self.total_calls = int(data['ncall'] / self.mpi_size)
+        active_u = np.load(os.path.join(ck, 'active_u_%s.npy' % it))
+        active_v = np.asarray(self.transform(active_u))
+        active_logl = np.load(os.path.join(ck, 'active_logl_%s.npy' % it))
+        active_derived = np.load(os.path.join(ck,
+                                              'active_derived_%s.npy' % it))
+        saved_v = [np.asarray(r) for r in
+                   np.load(os.path.join(ck, 'saved_v.npy'))]
+        saved_logl = list(np.load(os.path.join(ck, 'saved_logl.npy')))
+        saved_logwt = list(np.load(os.path.join(ck, 'saved_logwt.npy')))
+        assert it == len(saved_logl)
+        key_path = os.path.join(ck, 'rng_key.npy')
+        if os.path.exists(key_path):
+            self._key = jax.random.wrap_key_data(np.load(key_path))
+        flow_path = os.path.join(ck, 'flow_params.pkl')
+        if os.path.exists(flow_path):
+            self.trainer.load(flow_path)
+        return (it, active_u, active_v, active_logl, active_derived,
+                saved_v, saved_logl, saved_logwt, data['logz'], data['h'],
+                data['logvol'], data['fraction_remain'], data['strategy'],
+                data['expired_strategies'])

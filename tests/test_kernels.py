@@ -1,0 +1,134 @@
+"""Kernel tests: constrained Metropolis respects the hard likelihood bound,
+full-MH and stretch kernels sample a known Gaussian correctly, rejection /
+density kernels return only valid candidates, and ncall accounting matches
+the reference's masked-evaluation rule."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnest_tpu.flows import build_flow
+from nnest_tpu.samplers.kernels import LatentKernels
+
+
+@pytest.fixture(scope='module')
+def gauss_setup():
+    """Identity-ish Cholesky flow + 2-D standard normal likelihood."""
+    dim = 2
+    model = build_flow(dim, flow='choleksy')
+    x = jnp.asarray(np.random.RandomState(0).normal(size=(64, dim)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def like_fn(u):
+        logl = -0.5 * jnp.sum(u ** 2, axis=-1)
+        return logl, jnp.zeros((u.shape[0], 0), jnp.float32)
+
+    def prior_fn(u):
+        inside = jnp.all(jnp.abs(u) <= 10.0, axis=-1)
+        return jnp.where(inside, 0.0, -jnp.inf)
+
+    kern = LatentKernels(model, like_fn, prior_fn)
+    return model, params, kern, like_fn
+
+
+def test_constrained_mcmc_respects_loglstar(gauss_setup):
+    model, params, kern, like_fn = gauss_setup
+    num_chains, steps = 16, 50
+    key = jax.random.PRNGKey(1)
+    # start from points satisfying logl > loglstar
+    z0 = 0.3 * jax.random.normal(key, (num_chains, 2))
+    x0, _ = model.inverse(params, z0)
+    logl0, derived0 = like_fn(x0)
+    loglstar = -2.0
+    assert np.all(np.asarray(logl0) > loglstar)
+    out = kern.mcmc(params, jax.random.PRNGKey(2), z0, logl0, derived0,
+                    jnp.zeros(num_chains), loglstar=loglstar,
+                    step_size=0.5, mcmc_steps=steps)
+    lls = np.asarray(out['loglikes'])
+    assert lls.shape == (num_chains, steps + 1)
+    assert np.all(lls > loglstar)
+    assert int(out['accepted']) > 0
+    # ncall counts only prior/Jacobian-passing lanes
+    assert 0 < int(out['ncall']) <= num_chains * steps
+
+
+def test_full_mh_targets_gaussian(gauss_setup):
+    model, params, kern, like_fn = gauss_setup
+    num_chains, steps = 64, 400
+    z0 = jax.random.normal(jax.random.PRNGKey(3), (num_chains, 2))
+    x0, _ = model.inverse(params, z0)
+    logl0, derived0 = like_fn(x0)
+    out = kern.mcmc(params, jax.random.PRNGKey(4), z0, logl0, derived0,
+                    jnp.zeros(num_chains), loglstar=None,
+                    step_size=1.0, mcmc_steps=steps,
+                    dynamic_step_size=True)
+    xs = np.asarray(out['samples'])[:, 100:, :].reshape(-1, 2)
+    assert abs(np.mean(xs)) < 0.15
+    assert abs(np.std(xs) - 1.0) < 0.15
+    assert int(out['ncall']) == num_chains * steps
+
+
+def test_stretch_targets_gaussian(gauss_setup):
+    model, params, kern, like_fn = gauss_setup
+    num_walkers, steps = 64, 300
+    z0 = jax.random.normal(jax.random.PRNGKey(5), (num_walkers, 2))
+    out = kern.stretch(params, jax.random.PRNGKey(6), z0, mcmc_steps=steps)
+    xs = np.asarray(out['samples'])[:, 100:, :].reshape(-1, 2)
+    assert abs(np.mean(xs)) < 0.15
+    assert abs(np.std(xs) - 1.0) < 0.15
+    acc = int(out['accepted']) / (steps * num_walkers)
+    assert 0.1 < acc < 0.9
+
+
+def test_density_kernel(gauss_setup):
+    model, params, kern, like_fn = gauss_setup
+    x, logl, derived, ok, n_evals = kern.density(
+        params, jax.random.PRNGKey(7), -0.5, 256)
+    ok = np.asarray(ok)
+    assert np.all(np.asarray(logl)[ok] > -0.5)
+    assert int(n_evals) == 256  # all inside the wide prior box
+
+
+def test_rejection_flow_kernel(gauss_setup):
+    model, params, kern, like_fn = gauss_setup
+    live = 0.5 * jax.random.normal(jax.random.PRNGKey(8), (128, 2))
+    mld, mr = kern.envelope(params, live, 1.1)
+    x, logl, derived, ok, n_evals = kern.rejection_flow(
+        params, jax.random.PRNGKey(9), -1.0, float(mld), float(mr),
+        1.1, 256)
+    ok = np.asarray(ok)
+    assert np.all(np.asarray(logl)[ok] > -1.0)
+    assert 0 <= int(n_evals) <= 256
+
+
+def test_fast_slow_proposals_freeze_slow_dims():
+    """With oversample_rate=1 every proposal is fast-only: slow coords of
+    the latent chain never change (reference sampler.py:311-315)."""
+    dim, num_slow = 4, 2
+    model = build_flow(dim, flow='nvp', num_slow=num_slow)
+    x = jnp.asarray(np.random.RandomState(0).normal(size=(32, dim)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def like_fn(u):
+        return -0.5 * jnp.sum(u ** 2, -1), jnp.zeros((u.shape[0], 0))
+
+    def prior_fn(u):
+        return jnp.zeros(u.shape[0])
+
+    kern = LatentKernels(model, like_fn, prior_fn, num_slow=num_slow,
+                         oversample_rate=1.0)
+    z0 = jax.random.normal(jax.random.PRNGKey(1), (8, dim))
+    x0, _ = model.inverse(params, z0)
+    logl0, derived0 = like_fn(x0)
+    out = kern.mcmc(params, jax.random.PRNGKey(2), z0, logl0, derived0,
+                    jnp.zeros(8), loglstar=None, step_size=0.5,
+                    mcmc_steps=20)
+    latent = np.asarray(out['latent'])
+    assert np.all(latent[:, :, :num_slow] == latent[:, :1, :num_slow])
+    # and slow real-space outputs are invariant too
+    samples = np.asarray(out['samples'])
+    assert np.all(samples[:, :, :num_slow] == samples[:, :1, :num_slow])
+    assert int(out['fast_calls']) == int(out['ncall'])

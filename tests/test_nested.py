@@ -1,0 +1,84 @@
+"""End-to-end nested sampling integration tests.
+
+Oracle 1 mirrors the reference's sole integration test (2-D Rosenbrock,
+prior [-5,5]², 1000 live points, spline flow, logZ = -5.80 ± 0.2, reference
+tests/test_nested.py:7-19). Oracle 2 adds an analytic-evidence Gaussian check
+the reference lacks (SURVEY.md §4), plus checkpoint/resume and strategy-ladder
+coverage.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from nnest_tpu import NestedSampler
+from nnest_tpu.likelihoods import Rosenbrock, Gaussian
+
+MAX_EVIDENCE_ERROR = 0.2
+
+
+def test_rosenbrock_2d(tmp_path):
+    like = Rosenbrock(2)
+    sampler = NestedSampler(2, like, transform=lambda x: 5 * x,
+                            num_live_points=1000, hidden_dim=16,
+                            num_layers=1, num_blocks=3, num_slow=0,
+                            flow='spline', log_dir=str(tmp_path / 'rosen'),
+                            resume=False, seed=3)
+    sampler.run(mcmc_num_chains=10, mcmc_dynamic_step_size=False)
+    assert abs(sampler.logz + 5.80) <= MAX_EVIDENCE_ERROR
+    # Artifact contract: results/final.csv, chains/chain.txt,
+    # checkpoint files (reference nested.py:473-507).
+    run_dir = sampler.log_dir
+    assert os.path.exists(os.path.join(run_dir, 'results', 'final.csv'))
+    assert os.path.exists(os.path.join(run_dir, 'chains', 'chain.txt'))
+    assert os.path.exists(os.path.join(run_dir, 'info', 'params.txt'))
+
+
+def test_gaussian_analytic_logz(tmp_path):
+    """2-D independent Gaussian in a [-3,3]² box: logZ is analytic."""
+    from scipy.stats import norm
+    like = Gaussian(2, 0.0, lim=3)
+    mass = (norm.cdf(3) - norm.cdf(-3)) ** 2
+    analytic = math.log(mass) - math.log(36.0)
+    sampler = NestedSampler(2, like, transform=lambda x: 3 * x,
+                            num_live_points=200,
+                            log_dir=str(tmp_path / 'gauss'),
+                            resume=False, seed=42)
+    sampler.run(train_iters=200, dlogz=0.1)
+    err = max(3 * sampler.logzerr, 0.15)
+    assert abs(sampler.logz - analytic) <= err
+
+
+def test_checkpoint_resume(tmp_path):
+    """Interrupt a run via max_iters, then resume from the checkpoint and
+    verify the evidence is consistent with an uninterrupted run."""
+    like = Gaussian(2, 0.0, lim=3)
+    log_dir = str(tmp_path / 'resume')
+    s1 = NestedSampler(2, like, transform=lambda x: 3 * x,
+                       num_live_points=100, log_dir=log_dir,
+                       append_run_num=False, resume=True, seed=7)
+    s1.run(train_iters=50, max_iters=120, log_interval=50, dlogz=0.1)
+    ck = os.path.join(s1.log_dir, 'checkpoint')
+    assert any(f.startswith('checkpoint_') for f in os.listdir(ck))
+
+    s2 = NestedSampler(2, like, transform=lambda x: 3 * x,
+                       num_live_points=100, log_dir=log_dir,
+                       append_run_num=False, resume=True, seed=8)
+    s2.run(train_iters=50, log_interval=50, dlogz=0.1)
+    assert abs(s2.logz + 3.589) <= 0.6
+
+
+def test_strategy_ladder_flow_rejection(tmp_path):
+    """rejection_prior → rejection_flow → mcmc ladder executes and expires
+    strategies (reference nested.py:300-360)."""
+    like = Gaussian(2, 0.0, lim=3)
+    s = NestedSampler(2, like, transform=lambda x: 3 * x,
+                      num_live_points=100,
+                      log_dir=str(tmp_path / 'ladder'), resume=False,
+                      seed=11)
+    s.run(strategy=['rejection_prior', 'rejection_flow', 'mcmc'],
+          train_iters=50, dlogz=0.1, rejection_batch_size=256)
+    assert np.isfinite(s.logz)
+    assert abs(s.logz + 3.589) <= 0.6
