@@ -1,0 +1,54 @@
+"""MCMCSampler / EnsembleSampler integration tests: posterior moments on a
+known 2-D Gaussian, ensemble bootstrap end-to-end."""
+
+import numpy as np
+import pytest
+
+from nnest_tpu import MCMCSampler, EnsembleSampler
+from nnest_tpu.likelihoods import Gaussian
+from nnest_tpu.priors import UniformPrior
+
+
+@pytest.fixture
+def gauss_problem():
+    like = Gaussian(2, 0.0, lim=5)
+    prior = UniformPrior(2, -5, 5)
+    prior.seed(0)
+    # training samples from the true posterior (unit normal)
+    rng = np.random.RandomState(0)
+    training = rng.normal(size=(800, 2))
+    return like, prior, training
+
+
+def test_mcmc_sampler_posterior_moments(tmp_path, gauss_problem):
+    like, prior, training = gauss_problem
+    s = MCMCSampler(2, like, prior=prior, log_dir=str(tmp_path / 'mcmc'),
+                    seed=1)
+    s.run(400, 16, training, stats_interval=400)
+    # discard warmup, pool chains
+    samp = s.samples[:, 100:, :2].reshape(-1, 2)
+    assert abs(np.mean(samp)) < 0.2
+    assert abs(np.std(samp) - 1.0) < 0.2
+    assert s.latent_samples.shape[0] == 16
+    assert s.total_calls > 0
+
+
+def test_ensemble_sampler_run(tmp_path, gauss_problem):
+    like, prior, training = gauss_problem
+    s = EnsembleSampler(2, like, prior=prior,
+                        log_dir=str(tmp_path / 'ens'), seed=2)
+    s.run(300, 32, training, stats_interval=300)
+    samp = s.samples[:, 100:, :2].reshape(-1, 2)
+    assert abs(np.mean(samp)) < 0.2
+    assert abs(np.std(samp) - 1.0) < 0.2
+
+
+def test_ensemble_bootstrap(tmp_path, gauss_problem):
+    like, prior, training = gauss_problem
+    s = EnsembleSampler(2, like, prior=prior,
+                        log_dir=str(tmp_path / 'boot'), seed=3)
+    out = s.bootstrap(200, 32, iters=2, thin=5)
+    assert out.shape[1] == 2
+    assert out.shape[0] > 100
+    assert abs(np.mean(out)) < 0.35
+    assert abs(np.std(out) - 1.0) < 0.35
