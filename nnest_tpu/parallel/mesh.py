@@ -1,0 +1,83 @@
+"""Device mesh + sharding utilities.
+
+TPU-native replacement for the reference's MPI layer
+(``nnest/sampler.py:165-177``, ``nnest/nested.py:199-226,362-373,416-427``).
+The reference runs a replicated sequential loop per MPI rank and pools
+candidate points with gather/bcast; here the same data parallelism is
+expressed as sharded batch axes on a ``jax.sharding.Mesh``: chains/live
+points/training batches are sharded over the 'dp' axis (collectives ride
+ICI), and the small conditioner MLPs can additionally shard their hidden
+dimension over 'tp'. Multi-host runs use ``jax.distributed.initialize`` with
+process 0 as the I/O primary, mirroring the reference's rank-0 convention
+(``sampler.py:177``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(**kwargs):
+    """Multi-process bring-up (DCN across hosts). Safe to call when already
+    initialized or single-process."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass
+
+
+def get_mesh(devices=None, dp=None, tp=1):
+    """Build a (dp, tp) mesh. Defaults: all devices on the dp axis."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, 'dp*tp must equal device count'
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=('dp', 'tp'))
+
+
+def batch_sharding(mesh):
+    """Shard the leading (chains / live points / batch) axis over dp."""
+    return NamedSharding(mesh, P('dp'))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(x, mesh):
+    """Place a (batch, ...) array with its leading axis sharded over dp.
+    Pads the batch up to a multiple of dp if needed (returns array, pad)."""
+    dp = mesh.shape['dp']
+    n = x.shape[0]
+    pad = (-n) % dp
+    if pad:
+        x = np.concatenate([np.asarray(x),
+                            np.asarray(x)[:pad]], axis=0)
+    return jax.device_put(x, batch_sharding(mesh)), pad
+
+
+def params_sharding_tree(params, mesh, min_dim=None):
+    """Sharding tree for flow params: MLP hidden weight matrices shard their
+    output (hidden) dim over 'tp' when divisible; everything else is
+    replicated. With tp=1 this is full replication (pure DP)."""
+    tp = mesh.shape['tp']
+
+    def spec_for(path, leaf):
+        if tp > 1 and hasattr(leaf, 'ndim') and leaf.ndim == 2:
+            # weight (n_in, n_out): shard n_out over tp when divisible and
+            # the matrix is a hidden layer (both dims > flow dim heuristic).
+            if leaf.shape[1] % tp == 0 and leaf.shape[1] >= tp:
+                return NamedSharding(mesh, P(None, 'tp'))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(params, mesh):
+    return jax.device_put(params, params_sharding_tree(params, mesh))
