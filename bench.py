@@ -36,7 +36,7 @@ X_DIM = 16
 MCMC_CHAINS = 4096
 MCMC_STEPS = 100
 TRAIN_N = 1000
-TRAIN_EPOCHS = 30
+TRAIN_EPOCHS = 50
 
 
 def bench_mcmc():
@@ -88,7 +88,8 @@ def bench_train():
                 learning_rate=1e-3, seed=0)
     data = np.random.RandomState(0).normal(
         size=(TRAIN_N, X_DIM)).astype(np.float32)
-    t.train(data, max_iters=3, patience=10000, jitter=0.01)  # compile
+    t.train(data, max_iters=TRAIN_EPOCHS, patience=10000,
+            jitter=0.01)  # compile
     t0 = time.perf_counter()
     t.train(data, max_iters=TRAIN_EPOCHS, patience=10000, jitter=0.01)
     dt = time.perf_counter() - t0

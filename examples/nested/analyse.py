@@ -1,0 +1,127 @@
+"""Aggregate repeated nested runs: logZ mean±std, logZerr, N_like, posterior
+ESS per dimension (equivalent of reference examples/nested/analyse.py).
+Reads the standard run-dir artifact contract (info/params.txt,
+results/final.csv, chains/chain.txt). getdist is used for triangle plots
+when installed; the ESS/statistics path is self-contained.
+"""
+
+import argparse
+import csv
+import glob
+import json
+import os
+
+import numpy as np
+
+
+def read_final_csv(path):
+    with open(path) as f:
+        rows = list(csv.reader(f))
+    header, vals = rows[0], rows[1]
+    return dict(zip(header, [float(v) for v in vals]))
+
+
+def read_chain(path):
+    data = np.loadtxt(path)
+    if data.ndim == 1:
+        data = data[None, :]
+    weights, minus_logl, params = data[:, 0], data[:, 1], data[:, 2:]
+    return weights, -minus_logl, params
+
+
+def posterior_ess(weights):
+    return float(np.sum(weights) ** 2 / np.sum(weights ** 2))
+
+
+def main(args):
+    log_roots = glob.glob(args.root)
+    x_dims = [args.dim] if args.dim != 0 else list(range(2, 51))
+
+    for log_root in log_roots:
+        print('\n------------------------\n%s\n------------------------'
+              % log_root)
+        by_dim = {d: [] for d in x_dims}
+        for log_dir in glob.glob(os.path.join(log_root, 'run*')):
+            ppath = os.path.join(log_dir, 'info', 'params.txt')
+            if not os.path.exists(ppath):
+                continue
+            with open(ppath) as f:
+                params = json.load(f)
+            d = int(params['x_dim'])
+            if d in by_dim:
+                by_dim[d].append((log_dir, params))
+
+        for d, runs in by_dim.items():
+            if not runs:
+                continue
+            print('\n--------\nDim: %s (%d runs)\n--------' % (d, len(runs)))
+            logzs, dlogzs, nlikes, ess = [], [], [], []
+            for log_dir, params in runs:
+                fpath = os.path.join(log_dir, 'results', 'final.csv')
+                cpath = os.path.join(log_dir, 'chains', 'chain.txt')
+                if params.get('sampler') == 'nested' and \
+                        os.path.exists(fpath):
+                    res = read_final_csv(fpath)
+                    print('  %s: logz=%.3f±%.3f ncall=%d' % (
+                        log_dir, res['logz'], res['logzerr'],
+                        int(res['ncall'])))
+                    logzs.append(res['logz'])
+                    dlogzs.append(res['logzerr'])
+                    nlikes.append(res['ncall'])
+                    if os.path.exists(cpath):
+                        w, logl, samp = read_chain(cpath)
+                        ess.append(posterior_ess(w))
+                        if args.plot:
+                            _triangle(samp, w, log_dir)
+            if len(logzs) > 1:
+                print('Num runs: %d' % len(logzs))
+                print('Log Z: %4.2f +/- %4.2f' % (np.mean(logzs),
+                                                  np.std(logzs)))
+                print('Log Z error estimate: %4.2f +/- %4.2f' % (
+                    np.mean(dlogzs), np.std(dlogzs)))
+                print('N_like: %.0f +/- %.0f' % (np.mean(nlikes),
+                                                 np.std(nlikes)))
+                if ess:
+                    print('Posterior ESS: %.0f +/- %.0f' % (
+                        np.mean(ess), np.std(ess)))
+
+
+def _triangle(samples, weights, log_dir):
+    try:
+        import getdist
+        import getdist.plots
+        mc = getdist.MCSamples(samples=samples, weights=weights,
+                               names=['p%d' % i
+                                      for i in range(samples.shape[1])])
+        g = getdist.plots.getSubplotPlotter()
+        g.triangle_plot(mc, filled=True)
+        g.export(os.path.join(log_dir, 'plots', 'triangle.png'))
+    except ImportError:
+        # self-contained fallback: weighted 2-D hist corner plot
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        d = samples.shape[1]
+        fig, ax = plt.subplots(d, d, figsize=(2 * d, 2 * d))
+        ax = np.atleast_2d(ax)
+        for i in range(d):
+            for j in range(d):
+                if j > i:
+                    ax[i, j].axis('off')
+                elif i == j:
+                    ax[i, j].hist(samples[:, i], bins=40, weights=weights)
+                else:
+                    ax[i, j].hist2d(samples[:, j], samples[:, i], bins=40,
+                                    weights=weights)
+        plt.tight_layout()
+        plt.savefig(os.path.join(log_dir, 'plots', 'triangle.png'))
+        plt.close(fig)
+
+
+if __name__ == '__main__':
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--root', type=str, default='logs/*')
+    parser.add_argument('--dim', type=int, default=0)
+    parser.add_argument('--feedback', type=int, default=0)
+    parser.add_argument('-plot', action='store_true')
+    main(parser.parse_args())

@@ -1,0 +1,99 @@
+"""Nested-sampling CLI (equivalent of reference examples/nested/run.py).
+
+Example:
+  python examples/nested/run.py --likelihood rosenbrock --x_dim 2
+"""
+
+import argparse
+import datetime
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.realpath(
+    os.path.join(os.path.dirname(__file__), '..', '..')))
+
+import numpy as np
+
+
+def main(args):
+    from nnest_tpu import NestedSampler
+    from nnest_tpu.distributions import GeneralisedNormal
+    from nnest_tpu.likelihoods import (
+        Himmelblau, Rosenbrock, Gaussian, Eggbox, GaussianShell, GaussianMix)
+
+    if args.base_dist == 'gen_normal':
+        base_dist = GeneralisedNormal(dim=args.x_dim, beta=args.beta)
+    else:
+        base_dist = None
+
+    name = args.likelihood.lower()
+    if name == 'himmelblau':
+        like = Himmelblau(args.x_dim)
+        transform = lambda x: 5 * x
+    elif name == 'rosenbrock':
+        like = Rosenbrock(args.x_dim)
+        transform = lambda x: 5 * x
+    elif name == 'gaussian':
+        like = Gaussian(args.x_dim, args.corr, lim=3)
+        transform = lambda x: 3 * x
+    elif name == 'eggbox':
+        like = Eggbox(args.x_dim)
+        transform = lambda x: x * 5 * np.pi
+    elif name == 'shell':
+        like = GaussianShell(args.x_dim)
+        transform = lambda x: 5 * x
+    elif name == 'mixture':
+        like = GaussianMix(args.x_dim)
+        transform = lambda x: 10 * x
+    else:
+        raise ValueError('Likelihood not found')
+
+    log_dir = os.path.join(args.log_dir, args.likelihood) + args.log_suffix
+
+    sampler = NestedSampler(
+        like.x_dim, like, transform=transform, log_dir=log_dir,
+        num_live_points=args.num_live_points, hidden_dim=args.hidden_dim,
+        num_layers=args.num_layers, num_blocks=args.num_blocks,
+        num_slow=args.num_slow, base_dist=base_dist, scale=args.scale,
+        flow=args.flow, seed=args.seed)
+    start = time.time()
+    sampler.run(train_iters=args.train_iters, mcmc_steps=args.mcmc_steps,
+                volume_switch=args.switch, jitter=args.jitter,
+                mcmc_num_chains=args.mcmc_num_chains,
+                mcmc_dynamic_step_size=not args.mcmc_fixed_step_size,
+                strategy=args.strategy.split(',') if args.strategy else None,
+                dlogz=args.dlogz,
+                rejection_batch_size=args.rejection_batch_size)
+    print('Run time %s' % datetime.timedelta(seconds=time.time() - start))
+    print('logz %.3f +/- %.3f (ncall %d)' % (
+        sampler.logz, sampler.logzerr, sampler.total_calls))
+
+
+if __name__ == '__main__':
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--x_dim', type=int, default=2)
+    parser.add_argument('--train_iters', type=int, default=2000)
+    parser.add_argument('--mcmc_steps', type=int, default=0)
+    parser.add_argument('--mcmc_num_chains', type=int, default=10)
+    parser.add_argument('--num_live_points', type=int, default=1000)
+    parser.add_argument('-mcmc_fixed_step_size', action='store_true')
+    parser.add_argument('--switch', type=float, default=-1)
+    parser.add_argument('--hidden_dim', type=int, default=16)
+    parser.add_argument('--num_layers', type=int, default=1)
+    parser.add_argument('--flow', type=str, default='spline')
+    parser.add_argument('--num_blocks', type=int, default=3)
+    parser.add_argument('--jitter', type=float, default=-1)
+    parser.add_argument('--num_slow', type=int, default=0)
+    parser.add_argument('--log_dir', type=str, default='logs')
+    parser.add_argument('--likelihood', type=str, default='rosenbrock')
+    parser.add_argument('--log_suffix', type=str, default='')
+    parser.add_argument('--base_dist', type=str, default='')
+    parser.add_argument('--scale', type=str, default='')
+    parser.add_argument('--beta', type=float, default=8.0)
+    parser.add_argument('--corr', type=float, default=0.99)
+    parser.add_argument('--strategy', type=str, default='')
+    parser.add_argument('--dlogz', type=float, default=0.5)
+    parser.add_argument('--rejection_batch_size', type=int, default=512)
+    parser.add_argument('--seed', type=int, default=0)
+    main(parser.parse_args())

@@ -369,9 +369,9 @@ class Sampler:
         if init_samples is not None:
             num_chains = init_samples.shape[0]
             init_samples = jnp.asarray(init_samples, jnp.float32)
-            z, _ = self.trainer.model.forward(params, init_samples)
+            z, _ = self.trainer._forward(params, init_samples)
             # Re-project through the inverse for numerical consistency
-            x, _ = self.trainer.model.inverse(params, z)
+            x, _ = self.trainer._inverse(params, z)
             if init_loglikes is None or init_derived is None:
                 logl, derived = self.loglike(np.asarray(x))
                 ncall_init += num_chains
@@ -387,7 +387,7 @@ class Sampler:
             for i in range(max_start_tries):
                 z = self.trainer.model.sample_base(self._next_key(),
                                                    num_chains)
-                x, _ = self.trainer.model.inverse(params, z)
+                x, _ = self.trainer._inverse(params, z)
                 logl, derived = self.loglike(np.asarray(x))
                 ncall_init += num_chains
                 logl_prior_np = self.prior(np.asarray(x))
@@ -511,13 +511,13 @@ class Sampler:
 
         if init_samples is not None:
             num_walkers = init_samples.shape[0]
-            z, _ = self.trainer.model.forward(
+            z, _ = self.trainer._forward(
                 params, jnp.asarray(init_samples, jnp.float32))
         else:
             for i in range(max_start_tries):
                 z = self.trainer.model.sample_base(self._next_key(),
                                                    num_walkers)
-                x, _ = self.trainer.model.inverse(params, z)
+                x, _ = self.trainer._inverse(params, z)
                 if np.all(self.prior(np.asarray(x)) > -1e30):
                     break
                 if i == max_start_tries - 1:

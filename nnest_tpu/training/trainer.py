@@ -87,7 +87,8 @@ class Trainer:
                  log_level=logging.INFO,
                  seed=0,
                  num_bins=8,
-                 tail_bound=3.0):
+                 tail_bound=3.0,
+                 epoch_chunk=25):
         # use_gpu is accepted for API compatibility; device placement in JAX
         # follows the platform (TPU when available) automatically.
         del use_gpu
@@ -95,6 +96,7 @@ class Trainer:
         self.x_dim = x_dim
         self.z_dim = x_dim
         self.batch_size = batch_size
+        self.epoch_chunk = max(1, int(epoch_chunk))
         self.total_iters = 0
         assert x_dim > num_slow
         self.num_slow = num_slow
@@ -178,8 +180,15 @@ class Trainer:
 
     # ------------------------------------------------------------- training
 
-    def _make_epoch_fn(self, n_train, n_valid, l2_norm):
-        """Build a jitted full-epoch program for fixed data sizes."""
+    def _make_chunk_fn(self, n_train, n_valid, l2_norm, chunk):
+        """Build a jitted multi-epoch training program for fixed data sizes.
+
+        One dispatch runs ``chunk`` epochs (each a lax.scan over shuffled
+        batches) and tracks the best-validation params *inside* the scan, so
+        the patience/best-restore logic of the reference
+        (``trainer.py:205-232``) costs one device round-trip per chunk
+        instead of one per epoch — the difference between ~3 and ~30+
+        epochs/sec over the TPU tunnel."""
         bs = min(self.batch_size, n_train)
         nb = max(1, n_train // bs)
         model = self.model
@@ -193,7 +202,8 @@ class Trainer:
                 return nll + l2_norm * l2, nll
             return nll, nll
 
-        def epoch(params, opt_state, key, train_data, valid_data, jitter):
+        def one_epoch(params, opt_state, key, train_data, valid_data,
+                      jitter):
             kperm, knoise = jax.random.split(key)
             perm = jax.random.permutation(kperm, n_train)
             data = train_data[perm][:nb * bs].reshape(nb, bs, -1)
@@ -213,7 +223,32 @@ class Trainer:
             val_loss = -jnp.mean(model.log_prob(params, valid_data))
             return params, opt_state, jnp.mean(nlls), val_loss
 
-        return jax.jit(epoch)
+        def chunk_fn(params, opt_state, best_params, best_val, key,
+                     train_data, valid_data, jitter):
+            keys = jax.random.split(key, chunk)
+
+            def epoch_body(carry, inp):
+                params, opt_state, best_params, best_val, best_i, i = carry
+                params, opt_state, train_loss, val_loss = one_epoch(
+                    params, opt_state, inp, train_data, valid_data, jitter)
+                better = val_loss < best_val
+                best_params = jax.tree.map(
+                    lambda b, p: jnp.where(better, p, b), best_params,
+                    params)
+                best_val = jnp.where(better, val_loss, best_val)
+                best_i = jnp.where(better, i, best_i)
+                return ((params, opt_state, best_params, best_val, best_i,
+                         i + 1), (train_loss, val_loss))
+
+            carry0 = (params, opt_state, best_params,
+                      jnp.float32(best_val), jnp.int32(-1), jnp.int32(0))
+            carry, (train_losses, val_losses) = jax.lax.scan(
+                epoch_body, carry0, keys)
+            params, opt_state, best_params, best_val, best_i, _ = carry
+            return (params, opt_state, best_params, best_val, best_i,
+                    train_losses, val_losses)
+
+        return jax.jit(chunk_fn)
 
     def train(self,
               samples,
@@ -251,37 +286,43 @@ class Trainer:
         train = x[perm[n_valid:]]
         n_train = int(train.shape[0])
 
-        cache_key = (n_train, n_valid, float(l2_norm))
+        chunk = int(min(self.epoch_chunk, max_iters))
+        cache_key = (n_train, n_valid, float(l2_norm), chunk)
         if cache_key not in self._epoch_cache:
-            self._epoch_cache[cache_key] = self._make_epoch_fn(
-                n_train, n_valid, l2_norm)
-        epoch_fn = self._epoch_cache[cache_key]
+            self._epoch_cache[cache_key] = self._make_chunk_fn(
+                n_train, n_valid, l2_norm, chunk)
+        chunk_fn = self._epoch_cache[cache_key]
 
         best_val = float('inf')
         best_epoch = 0
         best_params = self.params
         counter = 0
+        epoch = 0
 
         params, opt_state = self.params, self._opt_state
-        for epoch in range(1, max_iters + 1):
-            self.total_iters += 1
-            params, opt_state, train_loss, val_loss = epoch_fn(
-                params, opt_state, self._next_key(), train, valid,
-                training_jitter)
-            val = float(val_loss)
-
-            if val < best_val:
-                best_epoch = epoch
-                best_val = val
-                best_params = params
-                counter = 0
+        while epoch < max_iters:
+            (params, opt_state, best_params, best_val_dev, best_i,
+             train_losses, val_losses) = chunk_fn(
+                params, opt_state, best_params, best_val,
+                self._next_key(), train, valid, training_jitter)
+            bi = int(best_i)
+            new_best = float(best_val_dev)
+            if bi >= 0:
+                best_epoch = epoch + bi + 1
+                counter = chunk - 1 - bi
             else:
-                counter += 1
+                counter += chunk
+            best_val = new_best
+            epoch += chunk
+            self.total_iters += chunk
 
-            if self.log and (epoch == 1 or epoch % log_interval == 0):
+            val = float(val_losses[-1])
+            if self.log and (epoch <= chunk or
+                             (epoch // chunk) % max(
+                                 1, log_interval // chunk) == 0):
                 self.logger.info(
                     'Epoch [%i] train loss [%5.4f] validation loss [%5.4f]'
-                    % (epoch, float(train_loss), val))
+                    % (epoch, float(train_losses[-1]), val))
             if self.writer is not None:
                 self.writer.add_scalar('loss', val, self.total_iters)
 
