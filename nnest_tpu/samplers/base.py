@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import io_callback
 import numpy as np
 
+from nnest_tpu import runtime as _runtime
 from nnest_tpu.samplers.kernels import LatentKernels
 from nnest_tpu.training.trainer import Trainer
 from nnest_tpu.utils.evaluation import (
@@ -573,13 +574,16 @@ class Sampler:
             weights = np.ones_like(loglikes)
 
         def write_one(path, s, ll, w, d):
+            header = ''
+            if self.param_names is not None:
+                header = 'weight minusloglike ' + ' '.join(self.param_names)
+            if _runtime.write_chain(path, w, ll, s, derived=d,
+                                    min_weight=min_weight, header=header):
+                return
             cols = [np.maximum(w, min_weight)[:, None], -ll[:, None], s]
             if d is not None:
                 cols.append(d)
             mat = np.hstack(cols)
-            header = ''
-            if self.param_names is not None:
-                header = 'weight minusloglike ' + ' '.join(self.param_names)
             np.savetxt(path, mat, fmt='%.5E', header=header,
                        comments='#' if header else '')
 

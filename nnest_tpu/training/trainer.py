@@ -135,6 +135,7 @@ class Trainer:
         self._forward = jax.jit(self.model.forward)
         self._inverse = jax.jit(self.model.inverse)
         self._log_prob = jax.jit(self.model.log_prob)
+        self._sample = jax.jit(self.model.sample, static_argnames=('num',))
         self._epoch_cache = {}
 
         self.logger.info('Flow [%s] x_dim [%d] num_slow [%d]' %
@@ -157,7 +158,9 @@ class Trainer:
             x = jnp.asarray(samples, dtype=jnp.float32)
         else:
             x = self.model.sample_base(self._next_key(), 64)
-        self.params = self.model.init(self._next_key(), x)
+        # jit the (pure) init: eager tracing of the whole chain is hundreds
+        # of tiny dispatches — ~45 s over a remote-TPU tunnel vs <1 s jitted.
+        self.params = jax.jit(self.model.init)(self._next_key(), x)
         self._init_optimizer()
 
     def _init_optimizer(self):
@@ -381,7 +384,7 @@ class Trainer:
 
     def get_synthetic_samples(self, num_samples, to_numpy=False):
         self.ensure_init()
-        x = self.model.sample(self.params, self._next_key(), num_samples)
+        x = self._sample(self.params, self._next_key(), num_samples)
         return np.asarray(x) if to_numpy else x
 
     def log_probs(self, x, to_numpy=False):

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from nnest_tpu import runtime as _native
+
 
 def auto_correlation_time(x, s, mu, var):
     """Lag-s autocorrelation averaged over chains (reference
@@ -26,6 +28,9 @@ def effective_sample_size(x, mu, var):
     ``evaluation.py:17-39``): accumulate 2*rho_s*(1 - s/t) while any dim has
     rho_s > 0.05, then ESS = t / sum."""
     x = np.asarray(x)
+    native = _native.ess(x, mu, var)
+    if native is not None:
+        return native
     b, t, d = x.shape
     ess = np.ones(d)
     for s in range(1, t):
@@ -41,6 +46,9 @@ def acceptance_rate(x):
     """Fraction of steps where the chain moved (reference
     ``evaluation.py:42-56``), vectorized."""
     x = np.asarray(x)
+    native = _native.acceptance_rate(x)
+    if native is not None:
+        return native
     moved = np.any(x[:, 1:, :] != x[:, :-1, :], axis=-1)
     return float(np.mean(moved))
 
@@ -48,6 +56,9 @@ def acceptance_rate(x):
 def mean_jump_distance(x):
     """Mean Euclidean step length (reference ``evaluation.py:59-73``)."""
     x = np.asarray(x)
+    native = _native.mean_jump(x)
+    if native is not None:
+        return native
     jumps = np.linalg.norm(x[:, 1:, :] - x[:, :-1, :], axis=-1)
     return float(np.mean(jumps))
 
