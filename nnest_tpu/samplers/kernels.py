@@ -25,6 +25,22 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+# Finite sentinel for "impossible" log-densities inside jitted kernels.
+# CRITICAL TPU performance rule discovered by bisection: arithmetic on
+# ±inf/NaN lanes runs ~150x slower than finite arithmetic on TPU v5e
+# (20.5 ms vs 0.13 ms per scan step at 4096x16), so the reference's
+# -np.inf prior indicator (priors.py:39-43) and NaN-producing -inf - -inf
+# ratios must never reach the hot path. LOG_NEG is chosen < -1e30 so the
+# reference's `< -1e30` validity checks keep their semantics; exp() of any
+# difference underflows cleanly to 0.
+LOG_NEG = -1e31
+
+
+def sanitize_log_density(lp):
+    """Map NaN/±inf/very-negative log-densities to the finite LOG_NEG."""
+    lp = jnp.where(jnp.isfinite(lp), lp, LOG_NEG)
+    return jnp.maximum(lp, LOG_NEG)
+
 
 def _accept_mask(key, log_ratio):
     ratio = jnp.exp(jnp.minimum(log_ratio, 0.0))
@@ -37,10 +53,10 @@ class LatentKernels:
     Args:
       model: FlowModel (params passed per call).
       like_fn: (batch, dim) → ((batch,) loglike, (batch, num_derived)).
-        Pure JAX; non-finite loglikes are clamped to -1e100 by the caller's
-        wrapper (the reference's safe_loglike, ``sampler.py:128``).
+        Pure JAX; outputs are sanitized to finite values here (the
+        reference clamps to -1e100 host-side, ``sampler.py:128``).
       prior_fn: (batch, dim) → (batch,) log prior (0/-inf box indicator for
-        nested sampling).
+        nested sampling; -inf sanitized to LOG_NEG here).
       num_slow / oversample_rate: fast-slow proposal masking
         (``sampler.py:311-315``).
     """
@@ -48,8 +64,16 @@ class LatentKernels:
     def __init__(self, model, like_fn, prior_fn, num_slow=0,
                  oversample_rate=1.0, num_derived=0):
         self.model = model
-        self.like_fn = like_fn
-        self.prior_fn = prior_fn
+
+        def safe_like(u):
+            logl, derived = like_fn(u)
+            return sanitize_log_density(logl), derived
+
+        def safe_prior(u):
+            return sanitize_log_density(prior_fn(u))
+
+        self.like_fn = safe_like
+        self.prior_fn = safe_prior
         self.num_slow = num_slow
         self.oversample_rate = oversample_rate
         self.num_derived = num_derived
@@ -62,6 +86,7 @@ class LatentKernels:
         self._mcmc = jax.jit(self._mcmc_impl, static_argnames=(
             'mcmc_steps', 'constrained', 'dynamic_step_size',
             'prior_volume_steps'))
+        self._fusable = None  # resolved lazily (import cycle + cheap check)
         self._rejection_prior = None  # built lazily (needs a prior sampler)
         self._rejection_flow = jax.jit(self._rejection_flow_impl,
                                        static_argnames=('num_trials',
@@ -72,6 +97,26 @@ class LatentKernels:
         self._stretch = jax.jit(self._stretch_impl,
                                 static_argnames=('mcmc_steps',
                                                  'constrained'))
+
+    def _hot_inverse(self, params):
+        """Loop-invariant-hoisted flow inverse for use inside scan bodies.
+
+        For single-speed spline flows this packs the chain params once
+        (inverting the 1x1-conv matrices, folding constant logdets) and uses
+        the gather-free inverse body — both essential on TPU: a
+        ``jnp.linalg.solve`` or ``take_along_axis`` on the scan's carried
+        dependency chain costs ~70x the whole step (see ops/fused_spline.py
+        and bijectors/rqs.py docstrings)."""
+        if self._fusable is None:
+            from nnest_tpu.ops import fused_spline
+            self._fusable = (fused_spline.is_fusable_spline(self.model),
+                             fused_spline)
+        fusable, fused_spline = self._fusable
+        if fusable:
+            consts = fused_spline.pack_inverse_consts(self.model, params)
+            return lambda z: fused_spline._inverse_body(
+                z, consts, self.model)
+        return lambda z: self.model.inverse(params, z)
 
     # ------------------------------------------------------------- MCMC ---
 
@@ -90,7 +135,7 @@ class LatentKernels:
         scalar counters.
         """
         constrained = loglstar is not None
-        ll_star = jnp.float32(loglstar if constrained else -jnp.inf)
+        ll_star = jnp.float32(loglstar if constrained else LOG_NEG)
         return self._mcmc(params, key, init_z, init_logl, init_derived,
                           init_logl_prior, ll_star,
                           jnp.float32(step_size), mcmc_steps=mcmc_steps,
@@ -101,9 +146,14 @@ class LatentKernels:
     def _mcmc_impl(self, params, key, z0, logl0, derived0, logl_prior0,
                    loglstar, step_size, *, mcmc_steps, constrained,
                    dynamic_step_size, prior_volume_steps):
-        model, like_fn, prior_fn = self.model, self.like_fn, self.prior_fn
+        like_fn, prior_fn = self.like_fn, self.prior_fn
         num_chains = z0.shape[0]
-        x0, ldj0 = model.inverse(params, z0)
+        logl0 = sanitize_log_density(logl0)
+        logl_prior0 = sanitize_log_density(logl_prior0)
+        # Hoist params-only preprocessing (1x1-conv inversion etc.) out of
+        # the scan: inverse() below closes over packed constants.
+        inverse = self._hot_inverse(params)
+        x0, ldj0 = inverse(z0)
 
         def propose(z, scale, k):
             kdz, kfast = jax.random.split(k)
@@ -126,12 +176,11 @@ class LatentKernels:
                     z_pr, x_pr, ldj_pr, any_mask, fast_last, kk = state
                     kk, kp, ku = jax.random.split(kk, 3)
                     z_prop, fast = propose(z, scale, kp)
-                    x_prop, ldj_prop = model.inverse(params, z_prop)
+                    x_prop, ldj_prop = inverse(z_prop)
                     log_ratio = ldj_prop - ldj
                     lp_prior = prior_fn(x_prop)
-                    log_ratio = jnp.where(lp_prior < -1e30, -jnp.inf,
-                                          log_ratio)
-                    m = _accept_mask(ku, log_ratio)
+                    m = jnp.logical_and(_accept_mask(ku, log_ratio),
+                                        lp_prior > -1e30)
                     mcol = m[:, None]
                     return (jnp.where(mcol, z_prop, z_pr),
                             jnp.where(mcol, x_prop, x_pr),
@@ -158,7 +207,7 @@ class LatentKernels:
                 # Full MH ratio (reference sampler.py:372-416).
                 k, kp, ku = jax.random.split(k, 3)
                 z_new, fast = propose(z, scale, kp)
-                x_new, ldj_new = model.inverse(params, z_new)
+                x_new, ldj_new = inverse(z_new)
                 logl_prop, derived_prop = like_fn(x_new)
                 lp_prior_new = prior_fn(x_new)
                 log_ratio = (ldj_new - ldj) + (logl_prop - logl) \
@@ -279,7 +328,7 @@ class LatentKernels:
             r = jax.random.uniform(kr, (num_trials, 1)) ** (1.0 / dim)
             g = g / jnp.linalg.norm(g, axis=1, keepdims=True)
             z = enlargement_factor * max_r * g * r
-        x, ldj = model.inverse(params, z)
+        x, ldj = self._hot_inverse(params)(z)
         ok_prior = self.prior_fn(x) > -1e30
         log_ratio = ldj - max_log_det_j
         jac_ok = _accept_mask(ku, log_ratio)
@@ -301,7 +350,7 @@ class LatentKernels:
 
     def _density_impl(self, params, key, loglstar, *, num_trials):
         z = self.model.base_dist.sample(key, num_trials)
-        x, _ = self.model.inverse(params, z)
+        x, _ = self._hot_inverse(params)(z)
         ok_prior = self.prior_fn(x) > -1e30
         logl, derived = self.like_fn(x)
         ok = jnp.logical_and(
@@ -311,15 +360,17 @@ class LatentKernels:
 
     # ------------------------------------------------------------ ensemble
 
-    def latent_log_prob(self, params, z, loglstar=None):
+    def latent_log_prob(self, params, z, loglstar=None, inverse=None):
         """Latent-space ensemble target (reference ``sampler.py:674-687``):
         logl(x) + log|det dx/dz| + logprior(x), or the constrained variant
         (logdet+prior weight subject to logl > loglstar)."""
-        x, ldj = self.model.inverse(params, z)
+        if inverse is None:
+            inverse = self._hot_inverse(params)
+        x, ldj = inverse(z)
         logl, derived = self.like_fn(x)
         lp_prior = self.prior_fn(x)
         if loglstar is not None:
-            lp = jnp.where(logl > loglstar, ldj + lp_prior, -jnp.inf)
+            lp = jnp.where(logl > loglstar, ldj + lp_prior, LOG_NEG)
         else:
             lp = logl + ldj + lp_prior
         return lp, logl, derived
@@ -330,7 +381,7 @@ class LatentKernels:
         (``sampler.py:689-705``). Red-black half-ensemble updates, fully
         vectorized, one lax.scan over steps."""
         constrained = loglstar is not None
-        ll_star = jnp.float32(loglstar if constrained else -jnp.inf)
+        ll_star = jnp.float32(loglstar if constrained else LOG_NEG)
         return self._stretch(params, key, z0, ll_star, jnp.float32(a),
                              mcmc_steps=mcmc_steps, constrained=constrained)
 
@@ -341,7 +392,9 @@ class LatentKernels:
         half = num_walkers // 2
         assert num_walkers % 2 == 0, 'stretch move needs an even walker count'
 
-        lp0, logl0, derived0 = self.latent_log_prob(params, z0, ll)
+        inverse = self._hot_inverse(params)
+        lp0, logl0, derived0 = self.latent_log_prob(params, z0, ll,
+                                                    inverse=inverse)
 
         def half_update(zs_move, zs_other, lp_move, logl_move, der_move, k):
             kz, kc, ku = jax.random.split(k, 3)
@@ -349,11 +402,17 @@ class LatentKernels:
             # g(ζ) ∝ 1/√ζ on [1/a, a]: ζ = ((a-1)u + 1)² / a
             u = jax.random.uniform(kz, (n,))
             zeta = ((a - 1.0) * u + 1.0) ** 2 / a
+            # Gather-free partner selection: row gathers execute as scalar
+            # loops on TPU, so select partners with a one-hot matmul (MXU).
             partner = jax.random.randint(kc, (n,), 0, zs_other.shape[0])
-            zp = zs_other[partner]
+            kiota = jax.lax.broadcasted_iota(
+                jnp.int32, (n, zs_other.shape[0]), 1)
+            onehot = (kiota == partner[:, None]).astype(zs_other.dtype)
+            zp = jnp.dot(onehot, zs_other,
+                         preferred_element_type=jnp.float32)
             prop = zp + zeta[:, None] * (zs_move - zp)
             lp_prop, logl_prop, der_prop = self.latent_log_prob(
-                params, prop, ll)
+                params, prop, ll, inverse=inverse)
             log_ratio = (dim - 1.0) * jnp.log(zeta) + lp_prop - lp_move
             acc = _accept_mask(ku, log_ratio)
             acol = acc[:, None]
@@ -391,7 +450,7 @@ class LatentKernels:
         # trajectory instead of one per step.
         latent = stack(z0, zs)
         flat = latent.reshape(-1, dim)
-        xs_flat, _ = self.model.inverse(params, flat)
+        xs_flat, _ = inverse(flat)
         samples = xs_flat.reshape(latent.shape)
 
         total_acc = jnp.sum(n_accs)
