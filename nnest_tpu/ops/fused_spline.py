@@ -1,24 +1,28 @@
-"""Fused Pallas kernel: whole spline-flow inverse in ONE TPU op.
+"""Hot-path spline-flow inverse: packed, gather-free, optionally Pallas.
 
-Why this exists (measured on TPU v5e, see kernels.py): a latent-MCMC scan
-step's wall time is dominated by the *loop-carried dependency chain* — the
-next z depends on logl(flow⁻¹(z+dz)), so the ~380 HLO ops of a 3-block
-spline inverse execute without cross-iteration overlap at ~20 ms/step
-(B=4096), even though the same inverse pipelines to 0.05 ms standalone.
-Fusing the entire inverse ([ActNorm⁻¹ ∘ 1x1Conv⁻¹ ∘ NSF-CL⁻¹] × blocks, plus
-logdet) into a single Pallas kernel collapses the critical path to one op.
+Why this exists (measured on TPU v5e, bisected in round 1): a latent-MCMC
+scan step's wall time is set by the *loop-carried dependency chain* — the
+next z depends on logl(flow⁻¹(z+dz)). Two op classes are catastrophic on
+that chain:
 
-Kernel design notes:
-- Gather-free RQS: bin selection via one-hot sums over the (static, small)
-  K axis instead of take_along_axis (no gathers in Mosaic).
-- Matmul-free cumsum over K (static unrolled adds).
-- The 1x1 conv inverse uses a precomputed dense W⁻¹ (host-side, once per
-  params); its logdet and ActNorm's are data-independent scalars folded in
-  at the end.
-- Grid over batch tiles; all weights live in VMEM (they are tiny).
-- Supports odd dims (lower half gets the extra dim) exactly like
-  bijectors/spline.py, and is validated against it bit-for-bit-ish
-  (≤1e-5) in tests/test_fused.py, including interpret mode on CPU.
+  1. dynamic gathers (``take_along_axis`` in the RQS bin lookup,
+     ``zs[idx]`` partner selection) — execute as scalar loops on TPU:
+     20.5 ms vs 0.31 ms per step at batch 4096x16;
+  2. per-step ``jnp.linalg.solve`` for the 1x1-conv inverse — repeated
+     LU factorization of a loop-invariant matrix.
+
+``_inverse_body`` is the production hot path used by
+``LatentKernels._hot_inverse``: plain XLA, gather-free one-hot bin
+selection, with all params-only preprocessing (dense W⁻¹ per conv, constant
+logdets) packed once per kernel invocation by ``pack_inverse_consts`` so it
+is hoisted out of the scan. It matches ``FlowModel.inverse`` to ≤2e-5
+(tests/test_fused.py).
+
+``make_fused_inverse`` additionally wraps the same body in a single Pallas
+kernel (one op per batch tile, everything in VMEM). It is validated in
+interpret mode; on current Mosaic it requires avoiding 3D reshapes with
+small trailing dims, so the XLA body — which already reaches 13.4M
+proposal-evals/s — remains the default.
 """
 
 from __future__ import annotations
@@ -273,12 +277,6 @@ def make_fused_inverse(model, tile=1024, interpret=False):
             z = jnp.concatenate([z, z[:pad]], axis=0)
         np_ = z.shape[0]
         grid = (np_ // tb,)
-
-        def z_map(i):
-            return (i, 0)
-
-        def const_map(i):
-            return tuple([0] * 1) if False else 0  # placeholder
 
         in_specs = [pl.BlockSpec((tb, d), lambda i: (i, 0))]
         for a in consts:

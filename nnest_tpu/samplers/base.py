@@ -504,9 +504,18 @@ class Sampler:
                          plot_trace=False,
                          moves=None,
                          show_progress=False):
-        """Latent-space ensemble sampling with the native stretch move
-        (reference delegates to emcee, ``sampler.py:632-724``)."""
-        del moves, show_progress
+        """Latent-space ensemble sampling with native moves (stretch / de /
+        snooker / kde; the reference delegates to emcee,
+        ``sampler.py:632-724``). ``moves`` may be a dict {name: weight}
+        (the reference's format, ``ensemble.py:120-134``) or a tuple of
+        (name, weight); default is the pure stretch move."""
+        del show_progress
+        if moves is None:
+            moves = (('stretch', 1.0),)
+        elif isinstance(moves, dict):
+            moves = tuple(moves.items())
+        else:
+            moves = tuple(moves)
         self.trainer.ensure_init()
         params = self.trainer.params
 
@@ -525,7 +534,8 @@ class Sampler:
                     raise RuntimeError('Could not find starting value')
 
         out = self.kernels.stretch(params, self._next_key(), z,
-                                   mcmc_steps=mcmc_steps, loglstar=loglstar)
+                                   mcmc_steps=mcmc_steps, loglstar=loglstar,
+                                   moves=moves)
         samples = np.asarray(out['samples'], dtype=np.float64)
         latent = np.asarray(out['latent'], dtype=np.float64)
         derived = np.asarray(out['derived'], dtype=np.float64)

@@ -121,8 +121,9 @@ class EnsembleSampler(Sampler):
                   init_samples=None,
                   moves=None):
         """Alternate plain-ensemble and flow-guided latent-ensemble rounds
-        (reference ``ensemble.py:81-184``)."""
-        del moves  # native stretch move; emcee move zoo not required
+        (reference ``ensemble.py:81-184``). ``moves`` accepts the reference's
+        {name: weight} dict with native 'stretch'/'de'/'snooker'/'kde'
+        implementations (kernels.py)."""
 
         if init_samples is None:
             if self.sample_prior is None:
@@ -175,7 +176,8 @@ class EnsembleSampler(Sampler):
             samples, latent, derived, loglikes, ncall = \
                 self._ensemble_sample(mcmc_steps, num_walkers,
                                       stats_interval=stats_interval,
-                                      output_interval=output_interval)
+                                      output_interval=output_interval,
+                                      moves=moves)
 
             samples = self.transform(
                 samples.reshape(-1, self.x_dim)).reshape(samples.shape)

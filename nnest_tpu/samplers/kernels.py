@@ -96,7 +96,7 @@ class LatentKernels:
         self._envelope = jax.jit(self._envelope_impl)
         self._stretch = jax.jit(self._stretch_impl,
                                 static_argnames=('mcmc_steps',
-                                                 'constrained'))
+                                                 'constrained', 'moves'))
 
     def _hot_inverse(self, params):
         """Loop-invariant-hoisted flow inverse for use inside scan bodies.
@@ -375,18 +375,29 @@ class LatentKernels:
             lp = logl + ldj + lp_prior
         return lp, logl, derived
 
-    def stretch(self, params, key, z0, *, mcmc_steps, loglstar=None, a=2.0):
-        """Affine-invariant ensemble sampler (Goodman & Weare stretch move),
-        the native replacement for emcee in the latent space
-        (``sampler.py:689-705``). Red-black half-ensemble updates, fully
-        vectorized, one lax.scan over steps."""
+    def stretch(self, params, key, z0, *, mcmc_steps, loglstar=None, a=2.0,
+                moves=(('stretch', 1.0),)):
+        """Affine-invariant ensemble sampler, the native replacement for
+        emcee in the latent space (``sampler.py:689-705``). Red-black
+        half-ensemble updates, fully vectorized, one lax.scan over steps.
+
+        ``moves`` is a tuple of (name, weight) with the emcee move zoo the
+        reference exposes (``ensemble.py:120-134``): 'stretch' (Goodman &
+        Weare), 'de' (differential evolution), 'snooker' (DE-snooker), and
+        'kde' (proposal from a diagonal-bandwidth Gaussian KDE of the
+        complementary half — the reference delegates to scipy's full-cov
+        KDE; diagonal keeps the kernel free of per-step Cholesky
+        factorizations). One move is drawn per step by weight, as emcee
+        does. All partner selections are gather-free (one-hot matmuls).
+        """
         constrained = loglstar is not None
         ll_star = jnp.float32(loglstar if constrained else LOG_NEG)
         return self._stretch(params, key, z0, ll_star, jnp.float32(a),
-                             mcmc_steps=mcmc_steps, constrained=constrained)
+                             mcmc_steps=mcmc_steps, constrained=constrained,
+                             moves=tuple(moves))
 
     def _stretch_impl(self, params, key, z0, loglstar, a, *, mcmc_steps,
-                      constrained):
+                      constrained, moves=(('stretch', 1.0),)):
         ll = loglstar if constrained else None
         num_walkers, dim = z0.shape
         half = num_walkers // 2
@@ -396,24 +407,98 @@ class LatentKernels:
         lp0, logl0, derived0 = self.latent_log_prob(params, z0, ll,
                                                     inverse=inverse)
 
-        def half_update(zs_move, zs_other, lp_move, logl_move, der_move, k):
-            kz, kc, ku = jax.random.split(k, 3)
+        def pick_rows(k, zs_other, n):
+            """Gather-free random row selection via one-hot matmul (row
+            gathers execute as scalar loops on TPU)."""
+            idx = jax.random.randint(k, (n,), 0, zs_other.shape[0])
+            kiota = jax.lax.broadcasted_iota(
+                jnp.int32, (n, zs_other.shape[0]), 1)
+            onehot = (kiota == idx[:, None]).astype(zs_other.dtype)
+            return jnp.dot(onehot, zs_other,
+                           preferred_element_type=jnp.float32)
+
+        def propose_stretch(k, zs_move, zs_other):
+            kz, kc = jax.random.split(k)
             n = zs_move.shape[0]
             # g(ζ) ∝ 1/√ζ on [1/a, a]: ζ = ((a-1)u + 1)² / a
             u = jax.random.uniform(kz, (n,))
             zeta = ((a - 1.0) * u + 1.0) ** 2 / a
-            # Gather-free partner selection: row gathers execute as scalar
-            # loops on TPU, so select partners with a one-hot matmul (MXU).
-            partner = jax.random.randint(kc, (n,), 0, zs_other.shape[0])
-            kiota = jax.lax.broadcasted_iota(
-                jnp.int32, (n, zs_other.shape[0]), 1)
-            onehot = (kiota == partner[:, None]).astype(zs_other.dtype)
-            zp = jnp.dot(onehot, zs_other,
-                         preferred_element_type=jnp.float32)
+            zp = pick_rows(kc, zs_other, n)
             prop = zp + zeta[:, None] * (zs_move - zp)
+            return prop, (dim - 1.0) * jnp.log(zeta)
+
+        def propose_de(k, zs_move, zs_other):
+            ka, kb, ke = jax.random.split(k, 3)
+            n = zs_move.shape[0]
+            g0 = 2.38 / jnp.sqrt(2.0 * dim)
+            za = pick_rows(ka, zs_other, n)
+            zb = pick_rows(kb, zs_other, n)
+            noise = 1e-5 * jax.random.normal(ke, zs_move.shape)
+            prop = zs_move + g0 * (za - zb) + noise
+            return prop, jnp.zeros(n)
+
+        def propose_snooker(k, zs_move, zs_other):
+            k1, k2, k3 = jax.random.split(k, 3)
+            n = zs_move.shape[0]
+            z1 = pick_rows(k1, zs_other, n)
+            z2 = pick_rows(k2, zs_other, n)
+            z3 = pick_rows(k3, zs_other, n)
+            d_vec = zs_move - z1
+            norm = jnp.maximum(jnp.linalg.norm(d_vec, axis=1,
+                                               keepdims=True), 1e-12)
+            d_hat = d_vec / norm
+            proj = jnp.sum((z2 - z3) * d_hat, axis=1, keepdims=True)
+            prop = zs_move + 1.7 * proj * d_hat
+            norm_new = jnp.maximum(
+                jnp.linalg.norm(prop - z1, axis=1), 1e-12)
+            extra = (dim - 1.0) * (jnp.log(norm_new)
+                                   - jnp.log(norm[:, 0]))
+            return prop, extra
+
+        def kde_logq(pts, zs_other, h):
+            """log of diagonal-bandwidth Gaussian KDE density of zs_other
+            evaluated at pts (matmul-based pairwise distances)."""
+            m = zs_other.shape[0]
+            ph = pts / h
+            oh = zs_other / h
+            d2 = (jnp.sum(ph ** 2, 1)[:, None]
+                  + jnp.sum(oh ** 2, 1)[None, :]
+                  - 2.0 * jnp.dot(ph, oh.T,
+                                  preferred_element_type=jnp.float32))
+            log_kern = -0.5 * jnp.maximum(d2, 0.0)
+            return (jax.scipy.special.logsumexp(log_kern, axis=1)
+                    - jnp.log(float(m)) - jnp.sum(jnp.log(h))
+                    - 0.5 * dim * jnp.log(2.0 * jnp.pi))
+
+        def propose_kde(k, zs_move, zs_other):
+            kc, ke = jax.random.split(k)
+            n = zs_move.shape[0]
+            m = zs_other.shape[0]
+            # Scott's rule bandwidth, diagonal
+            h = (jnp.std(zs_other, axis=0) + 1e-6) * m ** (-1.0 / (dim + 4))
+            center = pick_rows(kc, zs_other, n)
+            prop = center + h * jax.random.normal(ke, zs_move.shape)
+            extra = kde_logq(zs_move, zs_other, h) \
+                - kde_logq(prop, zs_other, h)
+            return prop, extra
+
+        _PROPOSERS = {'stretch': propose_stretch, 'de': propose_de,
+                      'snooker': propose_snooker, 'kde': propose_kde}
+        move_fns = [_PROPOSERS[name.lower()] for name, _ in moves]
+        weights = jnp.asarray([w for _, w in moves], jnp.float32)
+        log_weights = jnp.log(weights / jnp.sum(weights))
+
+        def half_update(zs_move, zs_other, lp_move, logl_move, der_move, k,
+                        move_idx):
+            kp, ku = jax.random.split(k)
+            if len(move_fns) == 1:
+                prop, extra = move_fns[0](kp, zs_move, zs_other)
+            else:
+                prop, extra = jax.lax.switch(
+                    move_idx, move_fns, kp, zs_move, zs_other)
             lp_prop, logl_prop, der_prop = self.latent_log_prob(
                 params, prop, ll, inverse=inverse)
-            log_ratio = (dim - 1.0) * jnp.log(zeta) + lp_prop - lp_move
+            log_ratio = extra + lp_prop - lp_move
             acc = _accept_mask(ku, log_ratio)
             acol = acc[:, None]
             return (jnp.where(acol, prop, zs_move),
@@ -424,12 +509,14 @@ class LatentKernels:
 
         def step(carry, k):
             z, lp, logl, derived = carry
-            k1, k2 = jax.random.split(k)
+            k1, k2, km = jax.random.split(k, 3)
+            move_idx = jax.random.categorical(km, log_weights)
             z_a, lp_a, ll_a, d_a, acc_a = half_update(
                 z[:half], z[half:], lp[:half], logl[:half], derived[:half],
-                k1)
+                k1, move_idx)
             z_b, lp_b, ll_b, d_b, acc_b = half_update(
-                z[half:], z_a, lp[half:], logl[half:], derived[half:], k2)
+                z[half:], z_a, lp[half:], logl[half:], derived[half:], k2,
+                move_idx)
             z = jnp.concatenate([z_a, z_b], axis=0)
             lp = jnp.concatenate([lp_a, lp_b], axis=0)
             logl = jnp.concatenate([ll_a, ll_b], axis=0)
