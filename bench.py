@@ -33,7 +33,7 @@ REF_MCMC_EVALS_PER_SEC = 2648.6
 REF_TRAIN_EPOCHS_PER_SEC = 3.06
 
 X_DIM = 16
-MCMC_CHAINS = 4096
+MCMC_CHAINS = 16384
 MCMC_STEPS = 100
 TRAIN_N = 1000
 TRAIN_EPOCHS = 50

@@ -339,31 +339,15 @@ class Sampler:
 
     # --------------------------------------------------------------- MCMC
 
-    def _mcmc_sample(self,
-                     mcmc_steps,
-                     step_size=0.0,
-                     dynamic_step_size=False,
-                     num_chains=1,
-                     init_samples=None,
-                     init_loglikes=None,
-                     init_derived=None,
-                     loglstar=None,
-                     max_start_tries=100,
-                     output_interval=None,
-                     stats_interval=None,
-                     plot_trace=False,
-                     prior_volume_steps=1,
-                     show_progress=False):
-        """Host-facing Metropolis entry (reference ``sampler.py:229-463``):
-        same returns (samples, latent, derived, loglikes, scale, ncall) with
-        chains shaped (num_chains, mcmc_steps+1, dim) — but the whole
-        trajectory is one compiled program."""
-        del show_progress  # single device dispatch; nothing to page through
+    def _mcmc_init(self, step_size, num_chains, init_samples, init_loglikes,
+                   init_derived, max_start_tries):
+        """Shared chain initialization (reference ``sampler.py:246-289``):
+        project init points through forward∘inverse for numerical
+        consistency, or draw latent starts from the base distribution until
+        valid."""
         if step_size <= 0.0:
             step_size = 2.0 / self.x_dim ** 0.5
-
         self.trainer.ensure_init()
-        kern = self.kernels
         params = self.trainer.params
         ncall_init = 0
 
@@ -400,11 +384,80 @@ class Sampler:
             derived = jnp.asarray(derived, jnp.float32)
             logl_prior = jnp.asarray(logl_prior_np, jnp.float32)
 
-        out = kern.mcmc(params, self._next_key(), z, logl, derived,
-                        logl_prior, loglstar=loglstar, step_size=step_size,
-                        mcmc_steps=mcmc_steps,
-                        dynamic_step_size=dynamic_step_size,
-                        prior_volume_steps=prior_volume_steps)
+        return params, z, logl, derived, logl_prior, step_size, ncall_init
+
+    def _mcmc_sample_final(self,
+                           mcmc_steps,
+                           step_size=0.0,
+                           dynamic_step_size=False,
+                           init_samples=None,
+                           init_loglikes=None,
+                           init_derived=None,
+                           loglstar=None,
+                           max_start_tries=100,
+                           prior_volume_steps=1):
+        """Endpoint-only Metropolis: same trajectory as ``_mcmc_sample`` but
+        transfers only each chain's final state + a moved flag — the part
+        nested sampling consumes (reference ``nested.py:429-439``). Keeps
+        the per-call device→host payload tiny (vital over a remote-TPU
+        link).
+
+        Returns (u, logl, derived, moved, scale, mean_jump, ncall)."""
+        (params, z, logl, derived, logl_prior, step_size,
+         ncall_init) = self._mcmc_init(
+            step_size, init_samples.shape[0], init_samples, init_loglikes,
+            init_derived, max_start_tries)
+
+        out = self.kernels.mcmc(
+            params, self._next_key(), z, logl, derived, logl_prior,
+            loglstar=loglstar, step_size=step_size, mcmc_steps=mcmc_steps,
+            dynamic_step_size=dynamic_step_size,
+            prior_volume_steps=prior_volume_steps, collect_chains=False)
+
+        self.total_calls += int(out['ncall'])
+        self.total_fast_calls += int(out['fast_calls'])
+        self.total_accepted += int(out['accepted'])
+        self.total_rejected += int(out['rejected'])
+
+        return (np.asarray(out['final_x'], dtype=np.float64),
+                np.asarray(out['final_logl'], dtype=np.float64),
+                np.asarray(out['final_derived'], dtype=np.float64),
+                np.asarray(out['moved']),
+                float(out['scale']),
+                float(out['mean_jump']),
+                int(out['ncall']) + ncall_init)
+
+    def _mcmc_sample(self,
+                     mcmc_steps,
+                     step_size=0.0,
+                     dynamic_step_size=False,
+                     num_chains=1,
+                     init_samples=None,
+                     init_loglikes=None,
+                     init_derived=None,
+                     loglstar=None,
+                     max_start_tries=100,
+                     output_interval=None,
+                     stats_interval=None,
+                     plot_trace=False,
+                     prior_volume_steps=1,
+                     show_progress=False):
+        """Host-facing Metropolis entry (reference ``sampler.py:229-463``):
+        same returns (samples, latent, derived, loglikes, scale, ncall) with
+        chains shaped (num_chains, mcmc_steps+1, dim) — but the whole
+        trajectory is one compiled program."""
+        del show_progress  # single device dispatch; nothing to page through
+        (params, z, logl, derived, logl_prior, step_size,
+         ncall_init) = self._mcmc_init(
+            step_size, num_chains, init_samples, init_loglikes,
+            init_derived, max_start_tries)
+
+        out = self.kernels.mcmc(
+            params, self._next_key(), z, logl, derived,
+            logl_prior, loglstar=loglstar, step_size=step_size,
+            mcmc_steps=mcmc_steps,
+            dynamic_step_size=dynamic_step_size,
+            prior_volume_steps=prior_volume_steps)
 
         samples = np.asarray(out['samples'], dtype=np.float64)
         latent = np.asarray(out['latent'], dtype=np.float64)

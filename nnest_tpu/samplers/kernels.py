@@ -85,7 +85,7 @@ class LatentKernels:
 
         self._mcmc = jax.jit(self._mcmc_impl, static_argnames=(
             'mcmc_steps', 'constrained', 'dynamic_step_size',
-            'prior_volume_steps'))
+            'prior_volume_steps', 'collect_chains'))
         self._fusable = None  # resolved lazily (import cycle + cheap check)
         self._rejection_prior = None  # built lazily (needs a prior sampler)
         self._rejection_flow = jax.jit(self._rejection_flow_impl,
@@ -122,7 +122,8 @@ class LatentKernels:
 
     def mcmc(self, params, key, init_z, init_logl, init_derived,
              init_logl_prior, *, loglstar=None, step_size, mcmc_steps,
-             dynamic_step_size=False, prior_volume_steps=1):
+             dynamic_step_size=False, prior_volume_steps=1,
+             collect_chains=True):
         """Vectorized multi-chain latent Metropolis.
 
         Two modes as in the reference: hard-likelihood-constraint (nested
@@ -131,8 +132,13 @@ class LatentKernels:
         Metropolis-Hastings (ratio = ΔlogdetJ + Δlogl + Δlogprior,
         ``sampler.py:372-416``).
 
-        Returns dict with chains stacked (num_chains, mcmc_steps+1, ...) and
-        scalar counters.
+        With ``collect_chains=True`` returns chains stacked
+        (num_chains, mcmc_steps+1, ...) plus scalar counters. With
+        ``collect_chains=False`` only the *final* state per chain plus a
+        per-chain ``moved`` flag and an accumulated mean jump distance are
+        returned — this is what nested sampling consumes (the chain
+        endpoint, ``nested.py:429-439``) and it keeps the device→host
+        transfer per kernel call tiny (critical over a remote-TPU link).
         """
         constrained = loglstar is not None
         ll_star = jnp.float32(loglstar if constrained else LOG_NEG)
@@ -141,11 +147,13 @@ class LatentKernels:
                           jnp.float32(step_size), mcmc_steps=mcmc_steps,
                           constrained=constrained,
                           dynamic_step_size=dynamic_step_size,
-                          prior_volume_steps=prior_volume_steps)
+                          prior_volume_steps=prior_volume_steps,
+                          collect_chains=collect_chains)
 
     def _mcmc_impl(self, params, key, z0, logl0, derived0, logl_prior0,
                    loglstar, step_size, *, mcmc_steps, constrained,
-                   dynamic_step_size, prior_volume_steps):
+                   dynamic_step_size, prior_volume_steps,
+                   collect_chains=True):
         like_fn, prior_fn = self.like_fn, self.prior_fn
         num_chains = z0.shape[0]
         logl0 = sanitize_log_density(logl0)
@@ -217,6 +225,7 @@ class LatentKernels:
                 fast_calls = fast_calls + jnp.where(fast, num_chains, 0)
 
             acol = accept[:, None]
+            x_old = x
             z = jnp.where(acol, z_new, z)
             x = jnp.where(acol, x_new, x)
             ldj = jnp.where(accept, ldj_new, ldj)
@@ -239,15 +248,42 @@ class LatentKernels:
 
             new_carry = (z, x, ldj, logl, logl_prior, derived, scale,
                          acc_ctr, rej_ctr, ncall, fast_calls)
-            out = (x, z, logl, derived, n_acc)
+            if collect_chains:
+                out = (x, z, logl, derived, n_acc)
+            else:
+                jump = jnp.sum(jnp.where(
+                    accept, jnp.linalg.norm(x_new - x_old, axis=-1), 0.0))
+                out = (n_acc, accept, jump)
             return new_carry, out
 
         keys = jax.random.split(key, mcmc_steps)
         carry0 = (z0, x0, ldj0, logl0, logl_prior0, derived0,
                   step_size, jnp.float32(0.0), jnp.float32(0.0),
                   jnp.int32(0), jnp.int32(0))
-        carry, (xs, zs, logls, deriveds, n_accs) = jax.lax.scan(
-            step, carry0, keys)
+        carry, outs = jax.lax.scan(step, carry0, keys)
+
+        common = {
+            'scale': carry[6],
+            'ncall': carry[9],
+            'fast_calls': carry[10],
+        }
+
+        if not collect_chains:
+            n_accs, accepts, jumps = outs
+            total_acc = jnp.sum(n_accs)
+            moved = jnp.any(accepts, axis=0)
+            return dict(common, **{
+                'final_x': carry[1],
+                'final_z': carry[0],
+                'final_logl': carry[3],
+                'final_derived': carry[5],
+                'moved': moved,
+                'mean_jump': jnp.sum(jumps) / jnp.maximum(total_acc, 1),
+                'accepted': total_acc,
+                'rejected': mcmc_steps * z0.shape[0] - total_acc,
+            })
+
+        xs, zs, logls, deriveds, n_accs = outs
 
         # Prepend the initial state so chain length is steps+1, then move the
         # chain axis first: (chains, steps+1, dim).
@@ -256,17 +292,14 @@ class LatentKernels:
                 jnp.concatenate([first[None], seq], axis=0), 0, 1)
 
         total_acc = jnp.sum(n_accs)
-        return {
+        return dict(common, **{
             'samples': stack(x0, xs),
             'latent': stack(z0, zs),
             'loglikes': stack(logl0, logls),
             'derived': stack(derived0, deriveds),
-            'scale': carry[6],
-            'ncall': carry[9],
-            'fast_calls': carry[10],
             'accepted': total_acc,
             'rejected': mcmc_steps * z0.shape[0] - total_acc,
-        }
+        })
 
     # ----------------------------------------------------- rejection/prior
 

@@ -99,7 +99,7 @@ class NestedSampler(Sampler):
     def run(self,
             strategy=None,
             mcmc_steps=0,
-            mcmc_num_chains=10,
+            mcmc_num_chains=None,
             mcmc_dynamic_step_size=True,
             max_iters=1000000,
             update_interval=None,
@@ -133,6 +133,12 @@ class NestedSampler(Sampler):
             if log_interval < 1:
                 raise ValueError('log_interval must be >= 1')
 
+        if mcmc_num_chains is None:
+            # The reference default is 10 chains (nested.py:101); on
+            # accelerators wider chain batches amortize the per-dispatch
+            # link latency — the same trick as the reference's MPI
+            # candidate pooling (nested.py:416-427), just batched on-chip.
+            mcmc_num_chains = 10 if jax.default_backend() == 'cpu' else 128
         if mcmc_steps <= 0:
             mcmc_steps = 5 * self.x_dim
         if step_size <= 0.0:
@@ -283,17 +289,20 @@ class NestedSampler(Sampler):
                     init_derived = (active_derived[idx, :]
                                     if self.num_derived > 0 else
                                     np.empty((mcmc_num_chains, 0)))
-                    samples, latent, derived_s, loglikes, mcmc_scale, nc = \
-                        self._mcmc_sample(
-                            mcmc_steps, init_samples=init_samples,
-                            init_loglikes=init_loglikes,
-                            init_derived=init_derived, loglstar=loglstar,
-                            step_size=step_size,
-                            dynamic_step_size=mcmc_dynamic_step_size)
-                    pool = {'chains': samples, 'logl': loglikes,
-                            'derived': derived_s}
+                    (u_f, logl_f, derived_f, moved, mcmc_scale,
+                     mean_jump, nc) = self._mcmc_sample_final(
+                        mcmc_steps, init_samples=init_samples,
+                        init_loglikes=init_loglikes,
+                        init_derived=init_derived, loglstar=loglstar,
+                        step_size=step_size,
+                        dynamic_step_size=mcmc_dynamic_step_size)
+                    # Chain endpoints are the candidates (nested.py:429-439:
+                    # accept iff the chain moved and logl > loglstar).
+                    pool = {'u': u_f[moved], 'logl': logl_f[moved],
+                            'derived': derived_f[moved],
+                            'mean_jump': mean_jump}
                     pool_pos = 0
-                    pool_is_chains = True
+                    pool_is_chains = False
                     need_pool = False
 
             # Consume the candidate pool (nested.py:375-385, 429-439).
@@ -418,6 +427,11 @@ class NestedSampler(Sampler):
         if self.logs is None:
             return
         acceptance, ess_min, ess_max, jump = 0.0, 0.0, 0.0, 0.0
+        total = self.total_accepted + self.total_rejected
+        if total > 0:
+            acceptance = self.total_accepted / total
+        if pool is not None and 'mean_jump' in pool:
+            jump = float(pool['mean_jump'])
         if pool is not None and 'chains' in pool:
             try:
                 acceptance, ess, jump = self._chain_stats(
