@@ -328,6 +328,9 @@ class Trainer:
                     % (epoch, float(train_losses[-1]), val))
             if self.writer is not None:
                 self.writer.add_scalar('loss', val, self.total_iters)
+            if self.path and save_interval and epoch % max(
+                    save_interval, chunk) < chunk:
+                self.save(os.path.join(self.path, 'models', 'netG.pkl'))
 
             if counter > patience:
                 if self.log:
@@ -459,6 +462,13 @@ class Trainer:
         plt.tight_layout()
         if outfile is not None:
             plt.savefig(outfile)
+        if self.writer is not None:
+            # real + latent scatter to TensorBoard (reference
+            # trainer.py:367-371)
+            try:
+                self.writer.add_figure('latent', fig, self.total_iters)
+            except Exception:
+                pass
         plt.close(fig)
 
 
