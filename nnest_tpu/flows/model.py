@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from nnest_tpu.bijectors.base import Chain
 from nnest_tpu.bijectors.affine import AffineCoupling
-from nnest_tpu.distributions import BaseDistribution, DiagNormal
+from nnest_tpu.distributions import BaseDistribution
 
 
 @dataclasses.dataclass(frozen=True)

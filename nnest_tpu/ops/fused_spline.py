@@ -28,7 +28,6 @@ proposal-evals/s — remains the default.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

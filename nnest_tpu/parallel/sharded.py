@@ -10,14 +10,13 @@ their hidden dimension over 'tp'.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from nnest_tpu.parallel.mesh import (
-    batch_sharding, params_sharding_tree, replicated)
+    batch_sharding, params_sharding_tree)
 
 
 def make_sharded_train_step(model, optimizer, mesh, l2_norm=0.0):

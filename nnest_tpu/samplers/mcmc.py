@@ -8,7 +8,6 @@ chain trajectory is one jitted ``lax.scan`` — see kernels.py.
 
 from __future__ import annotations
 
-import logging
 
 import numpy as np
 

@@ -28,7 +28,6 @@ import logging
 import os
 import pickle
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
