@@ -72,7 +72,14 @@ class Sampler:
                  oversample_rate=-1,
                  log_level=logging.INFO,
                  param_names=None,
-                 seed=0):
+                 seed=0,
+                 mesh=None):
+        # Optional jax.sharding.Mesh: chain/trial batches are sharded over
+        # its 'dp' axis so candidate generation scales across devices — the
+        # TPU-native replacement for the reference's per-rank MPI candidate
+        # fan-out (nested.py:416-427). Semantics are unchanged (same PRNG,
+        # same program; SPMD is a layout choice).
+        self.mesh = mesh
         self.x_dim = x_dim
         self.num_derived = num_derived
         self.num_params = x_dim + num_derived
@@ -383,6 +390,17 @@ class Sampler:
             logl = jnp.asarray(logl, jnp.float32)
             derived = jnp.asarray(derived, jnp.float32)
             logl_prior = jnp.asarray(logl_prior_np, jnp.float32)
+
+        if self.mesh is not None:
+            from nnest_tpu.parallel.mesh import (batch_sharding,
+                                                 params_sharding_tree)
+            sh = batch_sharding(self.mesh)
+            z = jax.device_put(z, sh)
+            logl = jax.device_put(logl, sh)
+            derived = jax.device_put(derived, sh)
+            logl_prior = jax.device_put(logl_prior, sh)
+            params = jax.device_put(
+                params, params_sharding_tree(params, self.mesh))
 
         return params, z, logl, derived, logl_prior, step_size, ncall_init
 

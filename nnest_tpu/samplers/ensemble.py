@@ -92,7 +92,8 @@ class EnsembleSampler(Sampler):
                  oversample_rate=-1,
                  log_level=logging.INFO,
                  param_names=None,
-                 seed=0):
+                 seed=0,
+                 mesh=None):
         if not hasattr(self, 'sampler'):
             self.sampler = 'ensemble'
         super().__init__(
@@ -103,7 +104,8 @@ class EnsembleSampler(Sampler):
             learning_rate=learning_rate, log_dir=log_dir, use_gpu=use_gpu,
             base_dist=base_dist, scale=scale, trainer=trainer,
             transform_prior=transform_prior, oversample_rate=oversample_rate,
-            log_level=log_level, param_names=param_names, seed=seed)
+            log_level=log_level, param_names=param_names, seed=seed,
+            mesh=mesh)
         if self.single_or_primary_process:
             self._save_params()
 

@@ -63,7 +63,8 @@ class NestedSampler(Sampler):
                  log_level=logging.INFO,
                  param_names=None,
                  num_live_points=1000,
-                 seed=0):
+                 seed=0,
+                 mesh=None):
         # The sampling unit cube is [-1, 1]^d (reference nested.py:76); the
         # user transform maps it to physical space.
         prior = UniformPrior(x_dim, -1.0, 1.0)
@@ -79,7 +80,8 @@ class NestedSampler(Sampler):
             log_dir=log_dir, resume=resume, use_gpu=use_gpu,
             base_dist=base_dist, scale=scale, trainer=trainer,
             transform_prior=False, oversample_rate=oversample_rate,
-            log_level=log_level, param_names=param_names, seed=seed)
+            log_level=log_level, param_names=param_names, seed=seed,
+            mesh=mesh)
 
         self.num_live_points = num_live_points
 
