@@ -187,6 +187,7 @@ class NestedSampler(Sampler):
                                    fraction_remain, strategy, expired)
 
         first_time = True
+        last_trained_it = -1
         need_pool = True
         pool = None           # candidate pool: dict of arrays
         pool_pos = 0
@@ -231,10 +232,12 @@ class NestedSampler(Sampler):
                 return method in strategy and method not in expired
 
             if current_method != 'rejection_prior' and (
-                    first_time or it % update_interval == 0):
+                    first_time or (it % update_interval == 0
+                                   and it != last_trained_it)):
                 self.trainer.train(active_u.astype(np.float32),
                                    max_iters=train_iters, jitter=jitter)
                 first_time = False
+                last_trained_it = it
 
             if current_method in ('rejection_prior', 'rejection_flow',
                                   'density_flow'):
