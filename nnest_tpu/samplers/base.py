@@ -225,6 +225,11 @@ class Sampler:
         self.total_calls = 0
         self.total_fast_calls = 0
 
+        # Per-phase wall-clock accounting (SURVEY.md §5.1: the reference has
+        # only coarse run timers; we keep named phase timers).
+        from nnest_tpu.utils.profiling import StepTimer
+        self.timers = StepTimer()
+
         self._kernels = None
         self._max_log_det_j = None
         self._max_r = None
@@ -426,11 +431,15 @@ class Sampler:
             step_size, init_samples.shape[0], init_samples, init_loglikes,
             init_derived, max_start_tries)
 
-        out = self.kernels.mcmc(
-            params, self._next_key(), z, logl, derived, logl_prior,
-            loglstar=loglstar, step_size=step_size, mcmc_steps=mcmc_steps,
-            dynamic_step_size=dynamic_step_size,
-            prior_volume_steps=prior_volume_steps, collect_chains=False)
+        with self.timers.time('mcmc_kernel'):
+            out = self.kernels.mcmc(
+                params, self._next_key(), z, logl, derived, logl_prior,
+                loglstar=loglstar, step_size=step_size,
+                mcmc_steps=mcmc_steps,
+                dynamic_step_size=dynamic_step_size,
+                prior_volume_steps=prior_volume_steps,
+                collect_chains=False)
+            jax.block_until_ready(out['final_x'])
 
         self.total_calls += int(out['ncall'])
         self.total_fast_calls += int(out['fast_calls'])

@@ -114,8 +114,7 @@ class NestedSampler(Sampler):
             rejection_cache_interval=10,
             rejection_enlargement_factor=1.1,
             rejection_trials=None,
-            rejection_batch_size=512,
-            train_jitter_floor=0.0):
+            rejection_batch_size=512):
         if strategy is None or len(strategy) == 0:
             strategy = ['rejection_prior', 'mcmc']
         expired = []
@@ -234,8 +233,9 @@ class NestedSampler(Sampler):
             if current_method != 'rejection_prior' and (
                     first_time or (it % update_interval == 0
                                    and it != last_trained_it)):
-                self.trainer.train(active_u.astype(np.float32),
-                                   max_iters=train_iters, jitter=jitter)
+                with self.timers.time('flow_train'):
+                    self.trainer.train(active_u.astype(np.float32),
+                                       max_iters=train_iters, jitter=jitter)
                 first_time = False
                 last_trained_it = it
 
@@ -423,6 +423,10 @@ class NestedSampler(Sampler):
                 'niter: %d\n ncall: %d\n nsamples: %d\n logz: %6.3f +/- '
                 '%6.3f\n h: %6.3f' % (it + 1, self.total_calls,
                                       len(saved_v), logz, self.logzerr, h))
+            phases = self.timers.summary()
+            if phases:
+                self.logger.info('Phase timers: %s' % json.dumps(
+                    {k: round(v['total_s'], 2) for k, v in phases.items()}))
         return self.logz
 
     # -------------------------------------------------------------- io
