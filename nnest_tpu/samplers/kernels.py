@@ -307,15 +307,17 @@ class LatentKernels:
         ``sampler.py:529-543``): draw ``num_trials`` prior points, evaluate
         all, return successes and the effective cost
         ncall = trials/successes."""
-        if self._rejection_prior is None:
+        if self._rejection_prior is None or \
+                self._rejection_prior[0] is not prior:
             def impl(key, loglstar, num_trials):
                 x = prior.sample_jax(key, num_trials)
                 logl, derived = self.like_fn(x)
                 ok = jnp.logical_and(jnp.isfinite(logl), logl > loglstar)
                 return x, logl, derived, ok
-            self._rejection_prior = jax.jit(
-                impl, static_argnames=('num_trials',))
-        return self._rejection_prior(key, jnp.float32(loglstar), num_trials)
+            self._rejection_prior = (prior, jax.jit(
+                impl, static_argnames=('num_trials',)))
+        return self._rejection_prior[1](key, jnp.float32(loglstar),
+                                        num_trials)
 
     # ------------------------------------------------------ rejection/flow
 
