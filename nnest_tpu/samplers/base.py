@@ -211,7 +211,8 @@ class Sampler:
                 use_gpu=use_gpu,
                 base_dist=base_dist,
                 scale=scale,
-                seed=seed + 1)
+                seed=seed + 1,
+                mesh=mesh)
         else:
             self.trainer = trainer
 
@@ -446,6 +447,8 @@ class Sampler:
         self.total_accepted += int(out['accepted'])
         self.total_rejected += int(out['rejected'])
 
+        self._last_diag_chains = np.asarray(out['diag_chains'],
+                                            dtype=np.float64)
         return (np.asarray(out['final_x'], dtype=np.float64),
                 np.asarray(out['final_logl'], dtype=np.float64),
                 np.asarray(out['final_derived'], dtype=np.float64),

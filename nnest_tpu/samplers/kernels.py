@@ -34,6 +34,10 @@ import jax.numpy as jnp
 # difference underflows cleanly to 0.
 LOG_NEG = -1e31
 
+# Number of full chains kept for diagnostics in endpoint-only MCMC mode
+# (ESS / acceptance stats without transferring all chains).
+_N_DIAG = 4
+
 
 def sanitize_log_density(lp):
     """Map NaN/±inf/very-negative log-densities to the finite LOG_NEG."""
@@ -252,7 +256,8 @@ class LatentKernels:
             else:
                 jump = jnp.sum(jnp.where(
                     accept, jnp.linalg.norm(x_new - x_old, axis=-1), 0.0))
-                out = (n_acc, accept, jump)
+                # keep a few full diagnostic chains for ESS/acceptance stats
+                out = (n_acc, accept, jump, x[:_N_DIAG])
             return new_carry, out
 
         keys = jax.random.split(key, mcmc_steps)
@@ -268,9 +273,11 @@ class LatentKernels:
         }
 
         if not collect_chains:
-            n_accs, accepts, jumps = outs
+            n_accs, accepts, jumps, diag = outs
             total_acc = jnp.sum(n_accs)
             moved = jnp.any(accepts, axis=0)
+            diag_chains = jnp.swapaxes(jnp.concatenate(
+                [x0[:_N_DIAG][None], diag], axis=0), 0, 1)
             return dict(common, **{
                 'final_x': carry[1],
                 'final_z': carry[0],
@@ -278,6 +285,7 @@ class LatentKernels:
                 'final_derived': carry[5],
                 'moved': moved,
                 'mean_jump': jnp.sum(jumps) / jnp.maximum(total_acc, 1),
+                'diag_chains': diag_chains,
                 'accepted': total_acc,
                 'rejected': mcmc_steps * z0.shape[0] - total_acc,
             })

@@ -305,7 +305,8 @@ class NestedSampler(Sampler):
                     # accept iff the chain moved and logl > loglstar).
                     pool = {'u': u_f[moved], 'logl': logl_f[moved],
                             'derived': derived_f[moved],
-                            'mean_jump': mean_jump}
+                            'mean_jump': mean_jump,
+                            'chains': self._last_diag_chains}
                     pool_pos = 0
                     pool_is_chains = False
                     need_pool = False

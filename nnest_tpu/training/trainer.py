@@ -87,7 +87,8 @@ class Trainer:
                  seed=0,
                  num_bins=8,
                  tail_bound=3.0,
-                 epoch_chunk=25):
+                 epoch_chunk=25,
+                 mesh=None):
         # use_gpu is accepted for API compatibility; device placement in JAX
         # follows the platform (TPU when available) automatically.
         del use_gpu
@@ -96,6 +97,10 @@ class Trainer:
         self.z_dim = x_dim
         self.batch_size = batch_size
         self.epoch_chunk = max(1, int(epoch_chunk))
+        # Optional jax.sharding.Mesh: training/validation batches are
+        # dp-sharded so the NLL epoch scans run data-parallel across devices
+        # (grads reduced by XLA collectives).
+        self.mesh = mesh
         self.total_iters = 0
         assert x_dim > num_slow
         self.num_slow = num_slow
@@ -287,6 +292,18 @@ class Trainer:
         valid = x[perm[:n_valid]]
         train = x[perm[n_valid:]]
         n_train = int(train.shape[0])
+
+        if self.mesh is not None:
+            # dp-shard when the row count divides the mesh; otherwise stay
+            # replicated (sharding is a layout choice — results are
+            # identical either way, and uneven shards are not supported).
+            from nnest_tpu.parallel.mesh import batch_sharding
+            sh = batch_sharding(self.mesh)
+            dp = self.mesh.shape['dp']
+            if train.shape[0] % dp == 0:
+                train = jax.device_put(train, sh)
+            if valid.shape[0] % dp == 0:
+                valid = jax.device_put(valid, sh)
 
         chunk = int(min(self.epoch_chunk, max_iters))
         cache_key = (n_train, n_valid, float(l2_norm), chunk)
