@@ -1,5 +1,5 @@
-"""Fused Pallas spline inverse must match the reference XLA implementation
-(interpret mode on CPU; the same kernel compiles natively on TPU)."""
+"""Packed (hot-path) spline inverse must match the reference XLA
+implementation, including odd dims and the packed-consts structure."""
 
 import jax
 import jax.numpy as jnp
@@ -21,8 +21,8 @@ def test_inverse_body_matches_model(dims):
     z = jnp.asarray(np.random.RandomState(1).normal(size=(32, dims)) * 2,
                     jnp.float32)
 
-    consts = pack_inverse_consts(model, params)
-    x_fused, ld_fused = _inverse_body(z, consts, model)
+    packed = pack_inverse_consts(model, params)
+    x_fused, ld_fused = _inverse_body(z, packed, model)
     x_ref, ld_ref = model.inverse(params, z)
     np.testing.assert_allclose(np.asarray(x_fused), np.asarray(x_ref),
                                rtol=2e-5, atol=2e-5)
@@ -30,22 +30,18 @@ def test_inverse_body_matches_model(dims):
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize('dims', [4, 16])
-def test_pallas_interpret_matches_model(dims):
-    model = build_flow(dims, flow='spline')
-    x = jnp.asarray(np.random.RandomState(0).normal(size=(64, dims)),
+def test_fused_inverse_fn_jits(tmp_path):
+    model = build_flow(4, flow='spline')
+    x = jnp.asarray(np.random.RandomState(0).normal(size=(16, 4)),
                     jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x)
-    z = jnp.asarray(np.random.RandomState(1).normal(size=(70, dims)) * 2,
-                    jnp.float32)  # non-multiple of tile → padding path
-
-    inv = fused_inverse_fn(model, interpret=True, tile=32)
-    x_fused, ld_fused = inv(params, z)
-    x_ref, ld_ref = model.inverse(params, z)
-    np.testing.assert_allclose(np.asarray(x_fused), np.asarray(x_ref),
-                               rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(ld_fused), np.asarray(ld_ref),
-                               rtol=2e-4, atol=2e-4)
+    inv = jax.jit(fused_inverse_fn(model))
+    z = jnp.asarray(np.random.RandomState(1).normal(size=(16, 4)),
+                    jnp.float32)
+    x1, ld1 = inv(params, z)
+    x2, ld2 = model.inverse(params, z)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=2e-5,
+                               atol=2e-5)
 
 
 def test_is_fusable():
