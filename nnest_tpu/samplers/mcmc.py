@@ -52,6 +52,7 @@ class MCMCSampler(EnsembleSampler):
             samples.reshape(-1, self.x_dim)).reshape(samples.shape)
         if mcmc_steps > 1:
             self._chain_stats(samples)
+        self._plot_trace(samples, latent)  # reference sampler.py:460-461
 
         self.samples = np.concatenate((samples, derived), axis=2)
         self.latent_samples = latent
