@@ -82,10 +82,12 @@ def bench_mcmc():
 
 
 def bench_train():
+    import logging
+
     from nnest_tpu.training.trainer import Trainer
 
     t = Trainer(X_DIM, flow='spline', log_dir=None, log=False,
-                learning_rate=1e-3, seed=0)
+                learning_rate=1e-3, seed=0, log_level=logging.WARNING)
     data = np.random.RandomState(0).normal(
         size=(TRAIN_N, X_DIM)).astype(np.float32)
     t.train(data, max_iters=TRAIN_EPOCHS, patience=10000,
