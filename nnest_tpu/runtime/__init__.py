@@ -17,6 +17,7 @@ Public surface:
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -29,11 +30,19 @@ _TRIED = False
 
 _SRC = os.path.join(os.path.dirname(__file__), 'src', 'nnest_runtime.cpp')
 _SO = os.path.join(os.path.dirname(__file__), 'libnnest_runtime.so')
+_STAMP = _SO + '.sha256'
 
 
-def _build():
+def _src_hash():
+    with open(_SRC, 'rb') as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _build(src_hash):
     cmd = ['g++', '-O3', '-shared', '-fPIC', '-o', _SO, _SRC]
     subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    with open(_STAMP, 'w') as f:
+        f.write(src_hash)
 
 
 def _load():
@@ -43,9 +52,17 @@ def _load():
             return _LIB
         _TRIED = True
         try:
-            if not os.path.exists(_SO) or (
-                    os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-                _build()
+            # Content-hash staleness check: the binary is only trusted if it
+            # was built from the current source *on this machine* (the stamp
+            # file is written post-build and never checked in, so a binary
+            # from a different machine/ABI is always rebuilt).
+            src_hash = _src_hash()
+            stamp = ''
+            if os.path.exists(_STAMP):
+                with open(_STAMP) as f:
+                    stamp = f.read().strip()
+            if not os.path.exists(_SO) or stamp != src_hash:
+                _build(src_hash)
             lib = ctypes.CDLL(_SO)
         except Exception:
             _LIB = None

@@ -234,6 +234,7 @@ class Sampler:
         self._kernels = None
         self._max_log_det_j = None
         self._max_r = None
+        self._last_kernel_stats = None
 
     # ------------------------------------------------------------- params
 
@@ -419,12 +420,15 @@ class Sampler:
                            init_derived=None,
                            loglstar=None,
                            max_start_tries=100,
-                           prior_volume_steps=1):
+                           prior_volume_steps=1,
+                           stat_moments=None):
         """Endpoint-only Metropolis: same trajectory as ``_mcmc_sample`` but
         transfers only each chain's final state + a moved flag — the part
         nested sampling consumes (reference ``nested.py:429-439``). Keeps
         the per-call device→host payload tiny (vital over a remote-TPU
-        link).
+        link). Chain statistics (ESS over ALL chains, window acceptance,
+        mean jump — reference ``sampler.py:474-492``) are computed on device
+        and exposed via ``self._last_kernel_stats``.
 
         Returns (u, logl, derived, moved, scale, mean_jump, ncall)."""
         (params, z, logl, derived, logl_prior, step_size,
@@ -439,7 +443,7 @@ class Sampler:
                 mcmc_steps=mcmc_steps,
                 dynamic_step_size=dynamic_step_size,
                 prior_volume_steps=prior_volume_steps,
-                collect_chains=False)
+                collect_chains=False, stat_moments=stat_moments)
             jax.block_until_ready(out['final_x'])
 
         self.total_calls += int(out['ncall'])
@@ -449,6 +453,11 @@ class Sampler:
 
         self._last_diag_chains = np.asarray(out['diag_chains'],
                                             dtype=np.float64)
+        self._last_kernel_stats = {
+            'ess': np.asarray(out['ess'], dtype=np.float64),
+            'acceptance': float(out['acceptance']),
+            'mean_jump': float(out['mean_jump']),
+        }
         return (np.asarray(out['final_x'], dtype=np.float64),
                 np.asarray(out['final_logl'], dtype=np.float64),
                 np.asarray(out['final_derived'], dtype=np.float64),

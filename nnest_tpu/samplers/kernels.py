@@ -50,6 +50,40 @@ def _accept_mask(key, log_ratio):
     return jax.random.uniform(key, log_ratio.shape) < ratio
 
 
+def ess_device(chains, mu, var):
+    """Truncated-autocorrelation ESS per dimension, on device.
+
+    Same estimator as the reference (``nnest/utils/evaluation.py:17-39``):
+    rho_s averaged over chains, contributions 2*rho_s*(1 - s/t) accumulated
+    for dims with rho_s > 0.05 until no dim is active, ESS = t / sum. The
+    lag loop is replaced by one FFT autocorrelation over the step axis plus
+    a masked sum — compiler-friendly (static shapes, no host loop) and
+    O(t log t) instead of O(t^2).
+
+    chains: (num_chains, t, dim); mu/var: (dim,) normalizing moments (the
+    nested-sampling caller passes live-point moments, reference
+    ``sampler.py:481-483``).
+    """
+    b, t, d = chains.shape
+    var = jnp.maximum(var, 1e-12)
+    y = chains - mu[None, None, :]
+    nfft = 1 << (2 * t - 1).bit_length()
+    fy = jnp.fft.rfft(y, n=nfft, axis=1)
+    acf = jnp.fft.irfft(fy * jnp.conj(fy), n=nfft, axis=1)[:, :t, :]
+    lags = jnp.arange(1, t)
+    # mean over chains and the (t-s) overlapping pairs, per dim
+    rho = (jnp.sum(acf, axis=0)[1:]
+           / (b * (t - lags)[:, None] * var[None, :]))
+    active = rho > 0.05
+    any_active = jnp.any(active, axis=1)
+    has_break = jnp.any(~any_active)
+    s_break = jnp.where(has_break, jnp.argmax(~any_active), t - 1)
+    within = (jnp.arange(t - 1) < s_break)[:, None]
+    contrib = jnp.where(jnp.logical_and(active, within),
+                        2.0 * rho * (1.0 - lags[:, None] / t), 0.0)
+    return t / (1.0 + jnp.sum(contrib, axis=0))
+
+
 class LatentKernels:
     """Kernels bound to a flow model + pure-JAX likelihood/prior closures.
 
@@ -88,7 +122,7 @@ class LatentKernels:
 
         self._mcmc = jax.jit(self._mcmc_impl, static_argnames=(
             'mcmc_steps', 'constrained', 'dynamic_step_size',
-            'prior_volume_steps', 'collect_chains'))
+            'prior_volume_steps', 'collect_chains', 'own_moments'))
         self._fusable = None  # resolved lazily (import cycle + cheap check)
         self._rejection_prior = None  # built lazily (needs a prior sampler)
         self._rejection_flow = jax.jit(self._rejection_flow_impl,
@@ -126,7 +160,7 @@ class LatentKernels:
     def mcmc(self, params, key, init_z, init_logl, init_derived,
              init_logl_prior, *, loglstar=None, step_size, mcmc_steps,
              dynamic_step_size=False, prior_volume_steps=1,
-             collect_chains=True):
+             collect_chains=True, stat_moments=None):
         """Vectorized multi-chain latent Metropolis.
 
         Two modes as in the reference: hard-likelihood-constraint (nested
@@ -138,25 +172,46 @@ class LatentKernels:
         With ``collect_chains=True`` returns chains stacked
         (num_chains, mcmc_steps+1, ...) plus scalar counters. With
         ``collect_chains=False`` only the *final* state per chain plus a
-        per-chain ``moved`` flag and an accumulated mean jump distance are
-        returned — this is what nested sampling consumes (the chain
-        endpoint, ``nested.py:429-439``) and it keeps the device→host
-        transfer per kernel call tiny (critical over a remote-TPU link).
+        per-chain ``moved`` flag and summary statistics are returned — this
+        is what nested sampling consumes (the chain endpoint,
+        ``nested.py:429-439``) and it keeps the device→host transfer per
+        kernel call tiny (critical over a remote-TPU link). The full
+        trajectories still exist *on device* for the duration of the
+        program, so ESS / acceptance / jump statistics are computed there
+        over ALL chains (matching the reference's full-chain stats,
+        ``sampler.py:474-492``) and only the per-dim ESS vector crosses the
+        link.
+
+        ``stat_moments``: optional (mean, var) arrays of shape (dim,) used
+        to normalize the ESS autocorrelation — nested sampling passes
+        live-point moments (reference ``sampler.py:481-483``); default is
+        the chains' own moments.
         """
         constrained = loglstar is not None
         ll_star = jnp.float32(loglstar if constrained else LOG_NEG)
+        dim = init_z.shape[-1]
+        if stat_moments is None:
+            mu = jnp.zeros((dim,), jnp.float32)
+            var = jnp.ones((dim,), jnp.float32)
+            own_moments = True
+        else:
+            mu = jnp.asarray(stat_moments[0], jnp.float32)
+            var = jnp.asarray(stat_moments[1], jnp.float32)
+            own_moments = False
         return self._mcmc(params, key, init_z, init_logl, init_derived,
                           init_logl_prior, ll_star,
-                          jnp.float32(step_size), mcmc_steps=mcmc_steps,
+                          jnp.float32(step_size), mu, var,
+                          mcmc_steps=mcmc_steps,
                           constrained=constrained,
                           dynamic_step_size=dynamic_step_size,
                           prior_volume_steps=prior_volume_steps,
-                          collect_chains=collect_chains)
+                          collect_chains=collect_chains,
+                          own_moments=own_moments)
 
     def _mcmc_impl(self, params, key, z0, logl0, derived0, logl_prior0,
-                   loglstar, step_size, *, mcmc_steps, constrained,
-                   dynamic_step_size, prior_volume_steps,
-                   collect_chains=True):
+                   loglstar, step_size, stat_mu, stat_var, *, mcmc_steps,
+                   constrained, dynamic_step_size, prior_volume_steps,
+                   collect_chains=True, own_moments=True):
         like_fn, prior_fn = self.like_fn, self.prior_fn
         num_chains = z0.shape[0]
         logl0 = sanitize_log_density(logl0)
@@ -256,8 +311,9 @@ class LatentKernels:
             else:
                 jump = jnp.sum(jnp.where(
                     accept, jnp.linalg.norm(x_new - x_old, axis=-1), 0.0))
-                # keep a few full diagnostic chains for ESS/acceptance stats
-                out = (n_acc, accept, jump, x[:_N_DIAG])
+                # Full per-step states stay on device for endpoint-mode
+                # statistics; they are never transferred to host.
+                out = (n_acc, accept, jump, x)
             return new_carry, out
 
         keys = jax.random.split(key, mcmc_steps)
@@ -273,11 +329,16 @@ class LatentKernels:
         }
 
         if not collect_chains:
-            n_accs, accepts, jumps, diag = outs
+            n_accs, accepts, jumps, xs_all = outs
             total_acc = jnp.sum(n_accs)
             moved = jnp.any(accepts, axis=0)
-            diag_chains = jnp.swapaxes(jnp.concatenate(
-                [x0[:_N_DIAG][None], diag], axis=0), 0, 1)
+            # (chains, steps+1, dim), device-resident only.
+            chains = jnp.swapaxes(jnp.concatenate(
+                [x0[None], xs_all], axis=0), 0, 1)
+            if own_moments:
+                stat_mu = jnp.mean(chains, axis=(0, 1))
+                stat_var = jnp.var(chains, axis=(0, 1))
+            ess = ess_device(chains, stat_mu, stat_var)
             return dict(common, **{
                 'final_x': carry[1],
                 'final_z': carry[0],
@@ -285,7 +346,10 @@ class LatentKernels:
                 'final_derived': carry[5],
                 'moved': moved,
                 'mean_jump': jnp.sum(jumps) / jnp.maximum(total_acc, 1),
-                'diag_chains': diag_chains,
+                'diag_chains': chains[:_N_DIAG],
+                'ess': ess,
+                'acceptance': total_acc / jnp.float32(
+                    mcmc_steps * z0.shape[0]),
                 'accepted': total_acc,
                 'rejected': mcmc_steps * z0.shape[0] - total_acc,
             })

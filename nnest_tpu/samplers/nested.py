@@ -190,7 +190,8 @@ class NestedSampler(Sampler):
         need_pool = True
         pool = None           # candidate pool: dict of arrays
         pool_pos = 0
-        pool_is_chains = False
+        env_gens = 0          # rejection-flow pool generations since the
+        #                       envelope (max_log_det_j / max_r) was computed
         ncs = []
         mean_calls = 0.0
         mcmc_scale = step_size
@@ -238,6 +239,11 @@ class NestedSampler(Sampler):
                                        max_iters=train_iters, jitter=jitter)
                 first_time = False
                 last_trained_it = it
+                # The rejection-flow envelope is a function of the flow
+                # params (reference sampler.py:555-560): any retrain
+                # invalidates it, regardless of which iteration the next
+                # pool regeneration happens to land on.
+                self._max_log_det_j = None
 
             if current_method in ('rejection_prior', 'rejection_flow',
                                   'density_flow'):
@@ -246,20 +252,30 @@ class NestedSampler(Sampler):
                         s, ll, ds, nc = self._rejection_prior_sample(
                             loglstar, num_trials=rejection_batch_size)
                     elif current_method == 'rejection_flow':
+                        # Recompute the envelope whenever the flow has been
+                        # retrained since it was last computed (invalidated
+                        # above) or after rejection_cache_interval pool
+                        # generations — pool regeneration happens at
+                        # arbitrary iterations, so it-modulo triggers could
+                        # leave a stale envelope in place across retrains.
+                        recompute = (self._max_log_det_j is None
+                                     or env_gens >= rejection_cache_interval)
                         s, ll, ds, nc = self._rejection_flow_sample(
                             active_u.astype(np.float32), loglstar,
                             enlargement_factor=rejection_enlargement_factor,
-                            cache=not (it % rejection_cache_interval == 0
-                                       or it % update_interval == 0),
+                            cache=not recompute,
                             num_trials=rejection_batch_size)
+                        env_gens = 0 if recompute else env_gens + 1
                     else:
                         s, ll, ds, nc = self._density_sample(
                             loglstar, num_trials=rejection_batch_size)
 
-                    # One ncs entry per produced candidate so the efficiency
-                    # window matches the reference's per-iteration cadence
-                    # (nested.py:327-328) despite batched generation.
-                    ncs.extend([nc] * min(max(s.shape[0], 1), 21))
+                    # Efficiency window (reference nested.py:327-328). The
+                    # per-generation contribution is capped well below the
+                    # 20-entry window so the switch decision averages over
+                    # at least ~4 independent pool generations instead of
+                    # being dominated by one unlucky batch.
+                    ncs.extend([nc] * min(max(s.shape[0], 1), 5))
                     mean_calls = float(np.mean(ncs[-20:])) if len(ncs) > 20 \
                         else 0.0
 
@@ -281,7 +297,6 @@ class NestedSampler(Sampler):
 
                     pool = {'u': s, 'logl': ll, 'derived': ds}
                     pool_pos = 0
-                    pool_is_chains = False
                     need_pool = False
 
             elif current_method == 'mcmc':
@@ -300,58 +315,43 @@ class NestedSampler(Sampler):
                         init_loglikes=init_loglikes,
                         init_derived=init_derived, loglstar=loglstar,
                         step_size=step_size,
-                        dynamic_step_size=mcmc_dynamic_step_size)
+                        dynamic_step_size=mcmc_dynamic_step_size,
+                        stat_moments=(np.mean(active_u, axis=0),
+                                      np.var(active_u, axis=0)))
                     # Chain endpoints are the candidates (nested.py:429-439:
                     # accept iff the chain moved and logl > loglstar).
                     pool = {'u': u_f[moved], 'logl': logl_f[moved],
                             'derived': derived_f[moved],
                             'mean_jump': mean_jump,
+                            'stats': self._last_kernel_stats,
                             'chains': self._last_diag_chains}
                     pool_pos = 0
-                    pool_is_chains = False
                     need_pool = False
 
-            # Consume the candidate pool (nested.py:375-385, 429-439).
+            # Consume the candidate pool (nested.py:375-385, 429-439). MCMC
+            # candidates are chain endpoints already filtered by the
+            # kernel's any-accept 'moved' flag, so one uniform consumption
+            # path covers every strategy.
             if pool is not None:
-                if pool_is_chains:
-                    chains = pool['chains']
-                    n_rows = chains.shape[0]
-                    while pool_pos < n_rows:
-                        ib = pool_pos
-                        pool_pos += 1
-                        if pool_pos == n_rows:
-                            need_pool = True
-                        moved = np.all(chains[ib, 0, :] != chains[ib, -1, :])
-                        if moved and pool['logl'][ib, -1] > loglstar:
-                            active_u[worst] = chains[ib, -1, :]
-                            active_v[worst] = self.transform(
-                                active_u[worst])[0]
-                            active_logl[worst] = pool['logl'][ib, -1]
-                            if self.num_derived > 0:
-                                active_derived[worst] = \
-                                    pool['derived'][ib, -1, :]
-                            accept_point = True
-                            break
-                else:
-                    u = pool['u']
-                    n_rows = u.shape[0]
-                    while pool_pos < n_rows:
-                        ib = pool_pos
-                        pool_pos += 1
-                        if pool_pos == n_rows:
-                            need_pool = True
-                        if pool['logl'][ib] > loglstar:
-                            active_u[worst] = u[ib, :]
-                            active_v[worst] = self.transform(
-                                active_u[worst])[0]
-                            active_logl[worst] = pool['logl'][ib]
-                            if self.num_derived > 0:
-                                active_derived[worst] = \
-                                    pool['derived'][ib, :]
-                            accept_point = True
-                            break
-                    if n_rows == 0:
+                u = pool['u']
+                n_rows = u.shape[0]
+                while pool_pos < n_rows:
+                    ib = pool_pos
+                    pool_pos += 1
+                    if pool_pos == n_rows:
                         need_pool = True
+                    if pool['logl'][ib] > loglstar:
+                        active_u[worst] = u[ib, :]
+                        active_v[worst] = self.transform(
+                            active_u[worst])[0]
+                        active_logl[worst] = pool['logl'][ib]
+                        if self.num_derived > 0:
+                            active_derived[worst] = \
+                                pool['derived'][ib, :]
+                        accept_point = True
+                        break
+                if n_rows == 0:
+                    need_pool = True
 
             if accept_point:
                 # Shrink prior volume (nested.py:458-464).
@@ -442,14 +442,15 @@ class NestedSampler(Sampler):
             acceptance = self.total_accepted / total
         if pool is not None and 'mean_jump' in pool:
             jump = float(pool['mean_jump'])
-        if pool is not None and 'chains' in pool:
-            try:
-                acceptance, ess, jump = self._chain_stats(
-                    pool['chains'], mean=np.mean(active_u, axis=0),
-                    std=np.std(active_u, axis=0))
-                ess_min, ess_max = float(np.min(ess)), float(np.max(ess))
-            except Exception:
-                pass
+        if pool is not None and 'stats' in pool:
+            # Device-computed full-chain statistics from the last MCMC
+            # kernel window (reference sampler.py:474-492: stats over all
+            # chains of the current batch, not run-lifetime counters).
+            st = pool['stats']
+            acceptance = st['acceptance']
+            jump = st['mean_jump']
+            ess_min = float(np.min(st['ess']))
+            ess_max = float(np.max(st['ess']))
         with open(os.path.join(self.logs['results'], 'results.csv'),
                   'a') as f:
             csv.writer(f).writerow(
@@ -482,23 +483,12 @@ class NestedSampler(Sampler):
                        'strategy': list(strategy),
                        'expired_strategies': list(expired)}, f)
 
-    def _load_checkpoint(self):
-        """Resume scan (reference nested.py:166-195), extended with flow
-        params + PRNG state for exact resume."""
-        if not self.resume or self.logs is None or self.logs['created']:
-            return None
-        it = -1
-        for fpath in glob.glob(os.path.join(self.logs['checkpoint'],
-                                            'checkpoint_*.txt')):
-            idx = int(os.path.basename(fpath)
-                      .split('checkpoint_')[1].split('.txt')[0])
-            it = max(it, idx)
-        if it < 0:
-            return None
-        ck = self.logs['checkpoint']
+    def _load_one_checkpoint(self, ck, it):
+        """Load + validate a single checkpoint index; raises on any
+        corruption (missing file, truncated npy, iteration/sample-count
+        mismatch)."""
         with open(os.path.join(ck, 'checkpoint_%s.txt' % it)) as f:
             data = json.load(f)
-        self.total_calls = int(data['ncall'] / self.mpi_size)
         active_u = np.load(os.path.join(ck, 'active_u_%s.npy' % it))
         active_v = np.asarray(self.transform(active_u))
         active_logl = np.load(os.path.join(ck, 'active_logl_%s.npy' % it))
@@ -508,14 +498,62 @@ class NestedSampler(Sampler):
                    np.load(os.path.join(ck, 'saved_v.npy'))]
         saved_logl = list(np.load(os.path.join(ck, 'saved_logl.npy')))
         saved_logwt = list(np.load(os.path.join(ck, 'saved_logwt.npy')))
-        assert it == len(saved_logl)
-        key_path = os.path.join(ck, 'rng_key.npy')
-        if os.path.exists(key_path):
-            self._key = jax.random.wrap_key_data(np.load(key_path))
-        flow_path = os.path.join(ck, 'flow_params.pkl')
-        if os.path.exists(flow_path):
-            self.trainer.load(flow_path)
+        # The cumulative saved_* arrays are written on the same cadence as
+        # the per-iteration files; a mismatch means this checkpoint was
+        # interrupted mid-write. saved_* may be *ahead* of an older
+        # checkpoint_<it> (they are overwritten in place) — truncate to it.
+        if len(saved_logl) < it:
+            raise ValueError(
+                'checkpoint %d inconsistent: %d dead points saved'
+                % (it, len(saved_logl)))
+        saved_v, saved_logl, saved_logwt = (
+            saved_v[:it], saved_logl[:it], saved_logwt[:it])
+        if active_logl.shape[0] != active_u.shape[0]:
+            raise ValueError('checkpoint %d: live-point arrays disagree' % it)
+        # total_calls is a *global* count on every process here (kernel
+        # ncall is an SPMD-global reduction) — unlike the reference's
+        # per-rank MPI accounting (nested.py:182-183), no division by
+        # process count.
+        self.total_calls = int(data['ncall'])
         return (it, active_u, active_v, active_logl, active_derived,
                 saved_v, saved_logl, saved_logwt, data['logz'], data['h'],
                 data['logvol'], data['fraction_remain'], data['strategy'],
                 data['expired_strategies'])
+
+    def _load_checkpoint(self):
+        """Resume scan (reference nested.py:166-195), extended with flow
+        params + PRNG state for exact resume. A corrupted newest checkpoint
+        falls back to the next older one instead of failing the run."""
+        if not self.resume or self.logs is None or self.logs['created']:
+            return None
+        its = []
+        for fpath in glob.glob(os.path.join(self.logs['checkpoint'],
+                                            'checkpoint_*.txt')):
+            its.append(int(os.path.basename(fpath)
+                           .split('checkpoint_')[1].split('.txt')[0]))
+        ck = self.logs['checkpoint']
+        state = None
+        for it in sorted(its, reverse=True):
+            try:
+                state = self._load_one_checkpoint(ck, it)
+                break
+            except Exception as e:
+                self.logger.warning(
+                    'Checkpoint %d unusable (%s); trying an older one'
+                    % (it, e))
+        if state is None:
+            return None
+        key_path = os.path.join(ck, 'rng_key.npy')
+        if os.path.exists(key_path):
+            try:
+                self._key = jax.random.wrap_key_data(np.load(key_path))
+            except Exception as e:
+                self.logger.warning('Could not restore PRNG key (%s)' % e)
+        flow_path = os.path.join(ck, 'flow_params.pkl')
+        if os.path.exists(flow_path):
+            try:
+                self.trainer.load(flow_path)
+            except Exception as e:
+                self.logger.warning('Could not restore flow params (%s); '
+                                    'flow will retrain' % e)
+        return state

@@ -103,6 +103,38 @@ def test_rejection_flow_kernel(gauss_setup):
     assert 0 <= int(n_evals) <= 256
 
 
+def test_endpoint_mode_full_chain_stats(gauss_setup):
+    """Endpoint-only mode computes ESS / acceptance / jump on device over
+    ALL chains; they must match host statistics of the identical
+    collect_chains=True trajectory (reference full-chain stats,
+    sampler.py:474-492)."""
+    from nnest_tpu.utils.evaluation import effective_sample_size
+    model, params, kern, like_fn = gauss_setup
+    num_chains, steps = 32, 120
+    z0 = jax.random.normal(jax.random.PRNGKey(11), (num_chains, 2))
+    x0, _ = model.inverse(params, z0)
+    logl0, derived0 = like_fn(x0)
+    mu = np.zeros(2)
+    var = np.ones(2)
+    kw = dict(loglstar=None, step_size=0.8, mcmc_steps=steps)
+    full = kern.mcmc(params, jax.random.PRNGKey(12), z0, logl0, derived0,
+                     jnp.zeros(num_chains), collect_chains=True, **kw)
+    endp = kern.mcmc(params, jax.random.PRNGKey(12), z0, logl0, derived0,
+                     jnp.zeros(num_chains), collect_chains=False,
+                     stat_moments=(mu, var), **kw)
+    # identical trajectories: endpoints equal the last collected state
+    np.testing.assert_allclose(np.asarray(endp['final_x']),
+                               np.asarray(full['samples'])[:, -1, :],
+                               rtol=1e-6, atol=1e-6)
+    chains = np.asarray(full['samples'], dtype=np.float64)
+    host_ess = effective_sample_size(chains, mu, var)
+    np.testing.assert_allclose(np.asarray(endp['ess']), host_ess,
+                               rtol=2e-3)
+    assert abs(float(endp['acceptance'])
+               - int(full['accepted']) / (steps * num_chains)) < 1e-6
+    assert float(endp['mean_jump']) > 0.0
+
+
 def test_fast_slow_proposals_freeze_slow_dims():
     """With oversample_rate=1 every proposal is fast-only: slow coords of
     the latent chain never change (reference sampler.py:311-315)."""

@@ -70,6 +70,36 @@ def test_checkpoint_resume(tmp_path):
     assert abs(s2.logz + 3.589) <= 0.6
 
 
+def test_corrupted_checkpoint_falls_back(tmp_path):
+    """A corrupted newest checkpoint must not brick resume: the sampler
+    falls back to the next older checkpoint and completes."""
+    import glob
+    like = Gaussian(2, 0.0, lim=3)
+    log_dir = str(tmp_path / 'corrupt')
+    s1 = NestedSampler(2, like, transform=lambda x: 3 * x,
+                       num_live_points=100, log_dir=log_dir,
+                       append_run_num=False, resume=True, seed=7)
+    s1.run(train_iters=50, max_iters=120, log_interval=40, dlogz=0.1)
+    ck = os.path.join(s1.log_dir, 'checkpoint')
+    its = sorted(int(os.path.basename(p).split('checkpoint_')[1]
+                     .split('.txt')[0])
+                 for p in glob.glob(os.path.join(ck, 'checkpoint_*.txt')))
+    assert len(its) >= 2
+    newest = its[-1]
+    # Truncate the newest checkpoint's live-point array mid-write.
+    with open(os.path.join(ck, 'active_u_%d.npy' % newest), 'wb') as f:
+        f.write(b'\x93NUMPY corrupted')
+
+    s2 = NestedSampler(2, like, transform=lambda x: 3 * x,
+                       num_live_points=100, log_dir=log_dir,
+                       append_run_num=False, resume=True, seed=8)
+    state = s2._load_checkpoint()
+    assert state is not None
+    assert state[0] == its[-2]  # fell back to the older checkpoint
+    s2.run(train_iters=50, log_interval=50, dlogz=0.1)
+    assert abs(s2.logz + 3.589) <= 0.6
+
+
 def test_strategy_ladder_flow_rejection(tmp_path):
     """rejection_prior → rejection_flow → mcmc ladder executes and expires
     strategies (reference nested.py:300-360)."""
