@@ -252,6 +252,18 @@ class Sampler:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def _to_host(self, x, dtype=None):
+        """Fetch a kernel output to host numpy. In multi-process runs the
+        chain axis is sharded over a global mesh spanning processes, so the
+        output is not fully addressable locally; reshard to replicated
+        first (the all-gather rides the interconnect — the TPU-native
+        replacement for the reference's MPI candidate gather,
+        ``nested.py:416-427``)."""
+        if hasattr(x, 'is_fully_addressable') and not x.is_fully_addressable:
+            from nnest_tpu.parallel.mesh import replicated
+            x = jax.device_put(x, replicated(self.mesh))
+        return np.asarray(x, dtype=dtype)
+
     # ------------------------------------------------------- jax closures
 
     def invalidate_kernels(self):
@@ -451,17 +463,17 @@ class Sampler:
         self.total_accepted += int(out['accepted'])
         self.total_rejected += int(out['rejected'])
 
-        self._last_diag_chains = np.asarray(out['diag_chains'],
-                                            dtype=np.float64)
+        self._last_diag_chains = self._to_host(out['diag_chains'],
+                                               dtype=np.float64)
         self._last_kernel_stats = {
-            'ess': np.asarray(out['ess'], dtype=np.float64),
+            'ess': self._to_host(out['ess'], dtype=np.float64),
             'acceptance': float(out['acceptance']),
             'mean_jump': float(out['mean_jump']),
         }
-        return (np.asarray(out['final_x'], dtype=np.float64),
-                np.asarray(out['final_logl'], dtype=np.float64),
-                np.asarray(out['final_derived'], dtype=np.float64),
-                np.asarray(out['moved']),
+        return (self._to_host(out['final_x'], dtype=np.float64),
+                self._to_host(out['final_logl'], dtype=np.float64),
+                self._to_host(out['final_derived'], dtype=np.float64),
+                self._to_host(out['moved']),
                 float(out['scale']),
                 float(out['mean_jump']),
                 int(out['ncall']) + ncall_init)
@@ -498,10 +510,10 @@ class Sampler:
             dynamic_step_size=dynamic_step_size,
             prior_volume_steps=prior_volume_steps)
 
-        samples = np.asarray(out['samples'], dtype=np.float64)
-        latent = np.asarray(out['latent'], dtype=np.float64)
-        derived_s = np.asarray(out['derived'], dtype=np.float64)
-        loglikes = np.asarray(out['loglikes'], dtype=np.float64)
+        samples = self._to_host(out['samples'], dtype=np.float64)
+        latent = self._to_host(out['latent'], dtype=np.float64)
+        derived_s = self._to_host(out['derived'], dtype=np.float64)
+        loglikes = self._to_host(out['loglikes'], dtype=np.float64)
         scale_out = float(out['scale'])
         ncall = int(out['ncall']) + ncall_init
 

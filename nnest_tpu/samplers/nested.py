@@ -520,7 +520,89 @@ class NestedSampler(Sampler):
                 data['logvol'], data['fraction_remain'], data['strategy'],
                 data['expired_strategies'])
 
+    # Canonical method keys for fixed-size multi-process encoding.
+    _METHODS = ('rejection_prior', 'rejection_flow', 'density_flow', 'mcmc')
+    _MAX_STRATEGIES = 8
+
     def _load_checkpoint(self):
+        """Resume entry point. Single-process: local scan. Multi-process:
+        rank 0 scans its filesystem and the resume decision + full state is
+        broadcast so every process stays in lockstep (the reference divides
+        this job between rank-0 I/O and MPI bcast, ``nested.py:166-195``;
+        here the broadcast is a JAX collective so it works without a shared
+        filesystem)."""
+        if self.mpi_size > 1:
+            state = (self._load_checkpoint_local()
+                     if self.single_or_primary_process else None)
+            return self._sync_checkpoint_state(state)
+        return self._load_checkpoint_local()
+
+    def _sync_checkpoint_state(self, state):
+        from jax.experimental import multihost_utils as mh
+        M, MAXS = self._METHODS, self._MAX_STRATEGIES
+        n_live, d, nd = self.num_live_points, self.x_dim, self.num_derived
+        npar = self.num_params
+        header = np.full(8 + 2 * MAXS, -1.0, np.float64)
+        if state is not None:
+            (it, active_u, _av, active_logl, active_derived, saved_v,
+             saved_logl, saved_logwt, logz, h, logvol, fraction_remain,
+             strategy, expired) = state
+            header[:8] = [1.0, it, self.total_calls, logz, h, logvol,
+                          fraction_remain,
+                          1.0 if self.trainer.params is not None else 0.0]
+            for i, name in enumerate(strategy[:MAXS]):
+                header[8 + i] = M.index(name)
+            for i, name in enumerate(expired[:MAXS]):
+                header[8 + MAXS + i] = M.index(name)
+        header = np.asarray(mh.broadcast_one_to_all(header))
+        if header[0] < 0.5:
+            return None
+        it = int(header[1])
+        if state is None:
+            active_u = np.zeros((n_live, d))
+            active_logl = np.zeros(n_live)
+            active_derived = np.zeros((n_live, max(nd, 0)))
+            saved_v = np.zeros((it, npar))
+            saved_logl = np.zeros(it)
+            saved_logwt = np.zeros(it)
+        payload = (np.asarray(active_u, np.float64),
+                   np.asarray(active_logl, np.float64),
+                   np.asarray(active_derived,
+                              np.float64).reshape(n_live, -1),
+                   np.asarray(saved_v, np.float64).reshape(it, npar),
+                   np.asarray(saved_logl, np.float64),
+                   np.asarray(saved_logwt, np.float64),
+                   np.asarray(jax.random.key_data(self._key)))
+        # np.array copies: broadcast outputs are read-only buffers, but the
+        # run loop mutates the live-point arrays in place.
+        (active_u, active_logl, active_derived, saved_v, saved_logl,
+         saved_logwt, key_data) = jax.tree.map(
+            lambda a: np.array(a, dtype=np.float64, copy=True)
+            if np.asarray(a).dtype != np.uint32
+            else np.asarray(a), mh.broadcast_one_to_all(payload))
+        self._key = jax.random.wrap_key_data(
+            key_data.astype(np.asarray(
+                jax.random.key_data(self._key)).dtype))
+        if header[7] > 0.5:
+            self.trainer.ensure_init()
+            self.trainer.params = mh.broadcast_one_to_all(
+                self.trainer.params)
+            # ensure_init consumes trainer PRNG splits on processes that
+            # had no local flow file; re-sync so later train() calls stay
+            # in lockstep.
+            self.trainer._key = jax.random.wrap_key_data(
+                np.asarray(mh.broadcast_one_to_all(
+                    np.asarray(jax.random.key_data(self.trainer._key)))))
+        self.total_calls = int(header[2])
+        strategy = [M[int(i)] for i in header[8:8 + MAXS] if i >= 0]
+        expired = [M[int(i)] for i in header[8 + MAXS:] if i >= 0]
+        active_v = np.asarray(self.transform(active_u), dtype=np.float64)
+        return (it, active_u, active_v, active_logl, active_derived,
+                [np.asarray(r) for r in saved_v], list(saved_logl),
+                list(saved_logwt), float(header[3]), float(header[4]),
+                float(header[5]), float(header[6]), strategy, expired)
+
+    def _load_checkpoint_local(self):
         """Resume scan (reference nested.py:166-195), extended with flow
         params + PRNG state for exact resume. A corrupted newest checkpoint
         falls back to the next older one instead of failing the run."""

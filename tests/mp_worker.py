@@ -1,0 +1,56 @@
+"""Worker for the multi-process distributed tests (not collected by pytest).
+
+Runs a small nested-sampling job as one of N ``jax.distributed`` processes
+on CPU — the TPU-native equivalent of the reference's ``mpirun -np N``
+workflow (reference MPI plumbing ``nnest/sampler.py:165-177``,
+``nnest/nested.py:199-226``): a global (dp,) mesh spans every process's
+devices, chain batches are sharded over it, and process 0 is the I/O
+primary. Prints one machine-readable RESULT line for the test to parse.
+"""
+
+import argparse
+import json
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--coordinator', default='localhost:9711')
+    p.add_argument('--num_processes', type=int, required=True)
+    p.add_argument('--process_id', type=int, required=True)
+    p.add_argument('--log_dir', required=True)
+    p.add_argument('--max_iters', type=int, default=1000000)
+    p.add_argument('--seed', type=int, default=7)
+    a = p.parse_args()
+
+    jax.distributed.initialize(a.coordinator, a.num_processes, a.process_id)
+
+    from nnest_tpu import NestedSampler
+    from nnest_tpu.likelihoods import Gaussian
+    from nnest_tpu.parallel import get_mesh
+
+    mesh = get_mesh()  # all global devices on the dp axis
+    like = Gaussian(2, 0.0, lim=3)
+    s = NestedSampler(2, like, transform=lambda x: 3 * x,
+                      num_live_points=100, log_dir=a.log_dir,
+                      append_run_num=False, resume=True, mesh=mesh,
+                      seed=a.seed)
+    s.run(train_iters=50, dlogz=0.1, max_iters=a.max_iters,
+          log_interval=40, mcmc_num_chains=8)
+    print('RESULT ' + json.dumps({
+        'pid': int(jax.process_index()),
+        'nproc': int(jax.process_count()),
+        'ndev': int(jax.device_count()),
+        'logz': float(s.logz),
+        'logzerr': float(s.logzerr),
+        'niter': int(s.niter),
+        'ncall': int(s.total_calls),
+        'has_logs': s.logs is not None,
+    }), flush=True)
+
+
+if __name__ == '__main__':
+    main()
