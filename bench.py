@@ -3,23 +3,30 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "x", "vs_baseline": N}
 
-Workload (matches the reference measurement exactly):
-  A) Latent-space Metropolis (full-MH) on 16-D Rosenbrock with a 3-block
-     spline flow: proposal evaluations (flow inverse + likelihood + accept)
-     per second. Reference: ``Sampler._mcmc_sample`` (nnest/sampler.py:229),
-     64 chains x 100 steps, torch CPU.
-  B) Flow training: epochs/sec on 1000x16 samples, batch 100 (reference
+Workloads (each matches a reference measurement made on this machine's CPU
+with the reference v0.4.2, torch CPU, getdist/emcee stubbed, 2026-08-16):
+
+  A) Latent-space Metropolis, full-MH, 16-D Rosenbrock, 3-block spline
+     flow: proposal evaluations/s. Reference ``Sampler._mcmc_sample``
+     (nnest/sampler.py:372-416), 64 chains x 100 steps.
+       REF_MCMC_EVALS_PER_SEC = 2648.6
+  B) Flow training: epochs/s on 1000x16 samples, batch 100 (reference
      ``Trainer.train``, nnest/trainer.py:134).
+       REF_TRAIN_EPOCHS_PER_SEC = 3.06
+  C) Constrained (nested-mode) Metropolis — the flagship nested-sampling
+     kernel: hard loglstar bound, endpoint-only returns, device ESS stats
+     (reference ``Sampler._mcmc_sample`` constrained branch,
+     nnest/sampler.py:299-370; 64 chains x 100 steps, permissive bound so
+     every prior/Jacobian-accepted lane evaluates the likelihood).
+       REF_NESTED_EVALS_PER_SEC = 2357.2
+  D) Rejection-flow sampling: constrained candidates produced per second
+     with a cached envelope (reference ``Sampler._rejection_flow_sample``,
+     nnest/sampler.py:545-607 — a one-candidate-at-a-time host loop).
+       REF_REJECTION_CAND_PER_SEC = 112.2
 
-Baselines below were measured on this machine's CPU with the reference
-(v0.4.2, torch CPU, getdist/emcee stubbed) on 2026-08-16:
-  REF_MCMC_EVALS_PER_SEC  = 2648.6   (64 chains x 100 steps in 2.42 s)
-  REF_TRAIN_EPOCHS_PER_SEC = 3.06    (30 epochs in 9.79 s)
-
-The TPU side uses the same statistical workload but batched wide (4096
-chains), which is the point of the TPU-native design: one chip retires the
-whole chain block per fused scan step. The reported value is the geometric
-mean of the two speedups.
+The TPU side runs the same statistical workloads batched wide (the point of
+the TPU-native design: one chip retires the whole chain block per fused
+scan step). The reported value is the geometric mean of the four speedups.
 """
 
 import json
@@ -31,15 +38,20 @@ import numpy as np
 
 REF_MCMC_EVALS_PER_SEC = 2648.6
 REF_TRAIN_EPOCHS_PER_SEC = 3.06
+REF_NESTED_EVALS_PER_SEC = 2357.2
+REF_REJECTION_CAND_PER_SEC = 112.2
 
 X_DIM = 16
 MCMC_CHAINS = 16384
 MCMC_STEPS = 100
+NESTED_CHAINS = 4096
+NESTED_STEPS = 80          # 5 * x_dim, the nested default
+REJECTION_TRIALS = 4096
 TRAIN_N = 1000
 TRAIN_EPOCHS = 50
 
 
-def bench_mcmc():
+def _setup():
     from nnest_tpu.flows import build_flow
     from nnest_tpu.samplers.kernels import LatentKernels
 
@@ -59,26 +71,79 @@ def bench_mcmc():
         return jnp.where(inside, 0.0, -jnp.inf)
 
     kern = LatentKernels(model, like_fn, prior_fn)
+    return model, params, kern, like_fn
+
+
+def _time_reps(fn, warm_args, rep_args, payload_key):
+    out = fn(warm_args)
+    jax.block_until_ready(out[payload_key])
+    t0 = time.perf_counter()
+    for a in rep_args:
+        out = fn(a)
+        jax.block_until_ready(out[payload_key])
+    return (time.perf_counter() - t0) / len(rep_args)
+
+
+def bench_mcmc(setup):
+    model, params, kern, like_fn = setup
     z0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1),
                                  (MCMC_CHAINS, X_DIM))
     x0, _ = model.inverse(params, z0)
     logl0, derived0 = like_fn(x0)
-    lp0 = prior_fn(x0)
 
     def run(key):
-        return kern.mcmc(params, key, z0, logl0, derived0, lp0,
-                         loglstar=None, step_size=0.3,
-                         mcmc_steps=MCMC_STEPS, dynamic_step_size=True)
+        return kern.mcmc(params, key, z0, logl0, derived0,
+                         jnp.zeros(MCMC_CHAINS), loglstar=None,
+                         step_size=0.3, mcmc_steps=MCMC_STEPS,
+                         dynamic_step_size=True)
 
-    out = run(jax.random.PRNGKey(2))          # compile + warmup
-    jax.block_until_ready(out['samples'])
-    t0 = time.perf_counter()
-    reps = 3
-    for i in range(reps):
-        out = run(jax.random.PRNGKey(3 + i))
-        jax.block_until_ready(out['samples'])
-    dt = (time.perf_counter() - t0) / reps
+    dt = _time_reps(run, jax.random.PRNGKey(2),
+                    [jax.random.PRNGKey(3 + i) for i in range(3)],
+                    'samples')
     return MCMC_CHAINS * MCMC_STEPS / dt
+
+
+def bench_nested_kernel(setup):
+    """Constrained-mode endpoint-only Metropolis at a realistic nested
+    config (the kernel behind NestedSampler's mcmc strategy)."""
+    model, params, kern, like_fn = setup
+    z0 = 0.1 * jax.random.normal(jax.random.PRNGKey(11),
+                                 (NESTED_CHAINS, X_DIM))
+    x0, _ = model.inverse(params, z0)
+    logl0, derived0 = like_fn(x0)
+
+    def run(key):
+        return kern.mcmc(params, key, z0, logl0, derived0,
+                         jnp.zeros(NESTED_CHAINS), loglstar=-1e9,
+                         step_size=0.3, mcmc_steps=NESTED_STEPS,
+                         dynamic_step_size=True, collect_chains=False)
+
+    dt = _time_reps(run, jax.random.PRNGKey(12),
+                    [jax.random.PRNGKey(13 + i) for i in range(3)],
+                    'final_x')
+    return NESTED_CHAINS * NESTED_STEPS / dt
+
+
+def bench_rejection_flow(setup):
+    """Rejection-flow candidates produced per second (cached envelope)."""
+    model, params, kern, like_fn = setup
+    live = 0.1 * jax.random.normal(jax.random.PRNGKey(21), (1000, X_DIM))
+    mld, mr = kern.envelope(params, live, 1.1)
+    mld, mr = float(mld), float(mr)
+
+    produced = {}
+
+    def run(key):
+        x, logl, derived, ok, n_evals = kern.rejection_flow(
+            params, key, -1e9, mld, mr, 1.1, REJECTION_TRIALS)
+        produced['n'] = ok
+        return {'ok': ok}
+
+    dt = _time_reps(run, jax.random.PRNGKey(22),
+                    [jax.random.PRNGKey(23 + i) for i in range(5)],
+                    'ok')
+    n_ok = int(np.asarray(produced['n']).sum())
+    return n_ok / dt
 
 
 def bench_train():
@@ -99,17 +164,26 @@ def bench_train():
 
 
 def main():
-    mcmc_rate = bench_mcmc()
+    setup = _setup()
+    mcmc_rate = bench_mcmc(setup)
+    nested_rate = bench_nested_kernel(setup)
+    rejection_rate = bench_rejection_flow(setup)
     train_rate = bench_train()
-    mcmc_speedup = mcmc_rate / REF_MCMC_EVALS_PER_SEC
-    train_speedup = train_rate / REF_TRAIN_EPOCHS_PER_SEC
-    geomean = float(np.sqrt(mcmc_speedup * train_speedup))
+    speedups = [mcmc_rate / REF_MCMC_EVALS_PER_SEC,
+                nested_rate / REF_NESTED_EVALS_PER_SEC,
+                rejection_rate / REF_REJECTION_CAND_PER_SEC,
+                train_rate / REF_TRAIN_EPOCHS_PER_SEC]
+    geomean = float(np.exp(np.mean(np.log(speedups))))
     print(json.dumps({
-        'metric': ('throughput speedup vs PyTorch-CPU nnest '
-                   '(geomean: 16-D spline latent-MCMC evals/s %.0f [ref '
-                   '%.0f], flow-train epochs/s %.2f [ref %.2f])'
-                   % (mcmc_rate, REF_MCMC_EVALS_PER_SEC, train_rate,
-                      REF_TRAIN_EPOCHS_PER_SEC)),
+        'metric': ('throughput speedup vs PyTorch-CPU nnest (geomean of: '
+                   '16-D spline full-MH MCMC evals/s %.0f [ref %.0f], '
+                   'nested constrained-MCMC evals/s %.0f [ref %.0f], '
+                   'rejection-flow candidates/s %.0f [ref %.0f], '
+                   'flow-train epochs/s %.2f [ref %.2f])'
+                   % (mcmc_rate, REF_MCMC_EVALS_PER_SEC,
+                      nested_rate, REF_NESTED_EVALS_PER_SEC,
+                      rejection_rate, REF_REJECTION_CAND_PER_SEC,
+                      train_rate, REF_TRAIN_EPOCHS_PER_SEC)),
         'value': round(geomean, 2),
         'unit': 'x',
         'vs_baseline': round(geomean, 2),

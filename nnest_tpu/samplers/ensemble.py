@@ -15,7 +15,9 @@ kernel (kernels.py) so the whole walker trajectory is one compiled program:
 
 from __future__ import annotations
 
+import glob
 import logging
+import os
 
 import jax
 import jax.numpy as jnp
@@ -117,6 +119,42 @@ class EnsembleSampler(Sampler):
 
     # ------------------------------------------------------------ bootstrap
 
+    def _bootstrap_save(self, phase, chains, training_samples):
+        """Persist a completed bootstrap phase (the reference streams its
+        initial run to an emcee HDF backend, ``ensemble.py:140-141``; here
+        each phase is one compiled program, so persistence is per-phase:
+        chains + thinned training set + PRNG state + likelihood counter)."""
+        if self.logs is None or not self.single_or_primary_process:
+            return
+        np.savez(os.path.join(self.logs['checkpoint'],
+                              'bootstrap_%d.npz' % phase),
+                 chains=chains, training_samples=training_samples,
+                 key_data=np.asarray(jax.random.key_data(self._key)),
+                 total_calls=self.total_calls)
+
+    def _bootstrap_load_latest(self, max_phase):
+        """Return (phase, training_samples) of the newest completed phase
+        <= max_phase, restoring PRNG + counters, or None."""
+        if self.logs is None:
+            return None
+        best = None
+        for p in glob.glob(os.path.join(self.logs['checkpoint'],
+                                        'bootstrap_*.npz')):
+            ph = int(os.path.basename(p).split('_')[1].split('.npz')[0])
+            if ph <= max_phase and (best is None or ph > best[0]):
+                best = (ph, p)
+        if best is None:
+            return None
+        try:
+            data = np.load(best[1])
+            self._key = jax.random.wrap_key_data(data['key_data'])
+            self.total_calls = int(data['total_calls'])
+            return best[0], np.asarray(data['training_samples'])
+        except Exception as e:
+            self.logger.warning('Bootstrap checkpoint %s unusable (%s)'
+                                % (best[1], e))
+            return None
+
     def bootstrap(self,
                   mcmc_steps,
                   num_walkers,
@@ -127,47 +165,63 @@ class EnsembleSampler(Sampler):
                   initial_jitter=0.01,
                   final_jitter=0.01,
                   init_samples=None,
-                  moves=None):
+                  moves=None,
+                  resume=False):
         """Alternate plain-ensemble and flow-guided latent-ensemble rounds
         (reference ``ensemble.py:81-184``). ``moves`` accepts the reference's
         {name: weight} dict with native 'stretch'/'de'/'snooker'/'kde'
-        implementations (kernels.py)."""
+        implementations (kernels.py). With ``resume=True``, completed phases
+        found in the run's checkpoint dir are skipped."""
 
-        if init_samples is None:
-            if self.sample_prior is None:
-                raise ValueError('Prior does not have sample method')
-            init_samples = self.sample_prior(num_walkers)
-        init_samples = np.asarray(init_samples, dtype=np.float32)
-        num_walkers = init_samples.shape[0]
+        start_phase = -1
+        if resume:
+            loaded = self._bootstrap_load_latest(iters)
+            if loaded is not None:
+                start_phase, training_samples = loaded
+                self.logger.info('Resumed bootstrap from phase [%d]'
+                                 % start_phase)
+                if start_phase >= iters:
+                    return training_samples
 
-        # Phase 1: real-space ensemble (reference ensemble.py:137-143).
-        kern = self.kernels  # ensures jax closures exist
-        like_fn, prior_fn = kern.like_fn, kern.prior_fn
+        if start_phase < 0:
+            # Phase 0: real-space ensemble (reference ensemble.py:137-143).
+            if init_samples is None:
+                if self.sample_prior is None:
+                    raise ValueError('Prior does not have sample method')
+                init_samples = self.sample_prior(num_walkers)
+            init_samples = np.asarray(init_samples, dtype=np.float32)
+            num_walkers = init_samples.shape[0]
 
-        def log_prob(x):
-            logl, _ = like_fn(x)
-            return logl + prior_fn(x)
+            kern = self.kernels  # ensures jax closures exist
+            like_fn, prior_fn = kern.like_fn, kern.prior_fn
 
-        self.logger.info('Performing initial ensemble run with [%d] walkers'
-                         % num_walkers)
-        run_fn = jax.jit(lambda key, x0: real_space_stretch(
-            log_prob, key, x0, mcmc_steps))
-        chains, lps, n_acc = run_fn(self._next_key(),
-                                    jnp.asarray(init_samples))
-        chains = np.asarray(chains, dtype=np.float64)
-        self.total_calls += mcmc_steps * num_walkers
-        self.logger.info('Initial acceptance [%5.4f]' % (
-            float(n_acc) / (mcmc_steps * num_walkers)))
-        self._chain_stats(chains)
+            def log_prob(x):
+                logl, _ = like_fn(x)
+                return logl + prior_fn(x)
 
-        # Autocorrelation thinning (reference ensemble.py:146-147).
-        tau = integrated_autocorr_time(chains)
-        discard = min(int(2 * np.max(tau)), chains.shape[1] // 2)
-        step_thin = max(int(0.5 * np.min(tau)), 1)
-        training_samples = chains[:, discard::step_thin, :].reshape(
-            -1, self.x_dim)
+            self.logger.info(
+                'Performing initial ensemble run with [%d] walkers'
+                % num_walkers)
+            run_fn = jax.jit(lambda key, x0: real_space_stretch(
+                log_prob, key, x0, mcmc_steps))
+            chains, lps, n_acc = run_fn(self._next_key(),
+                                        jnp.asarray(init_samples))
+            chains = np.asarray(chains, dtype=np.float64)
+            self.total_calls += mcmc_steps * num_walkers
+            self.logger.info('Initial acceptance [%5.4f]' % (
+                float(n_acc) / (mcmc_steps * num_walkers)))
+            self._chain_stats(chains)
 
-        for it in range(1, iters + 1):
+            # Autocorrelation thinning (reference ensemble.py:146-147).
+            tau = integrated_autocorr_time(chains)
+            discard = min(int(2 * np.max(tau)), chains.shape[1] // 2)
+            step_thin = max(int(0.5 * np.min(tau)), 1)
+            training_samples = chains[:, discard::step_thin, :].reshape(
+                -1, self.x_dim)
+            self._bootstrap_save(0, chains, training_samples)
+            start_phase = 0
+
+        for it in range(start_phase + 1, iters + 1):
             if iters > 1:
                 jitter = initial_jitter + (it - 1) * (
                     final_jitter - initial_jitter) / (iters - 1)
@@ -191,6 +245,7 @@ class EnsembleSampler(Sampler):
                 samples.reshape(-1, self.x_dim)).reshape(samples.shape)
             self._chain_stats(samples)
             training_samples = samples[:, ::thin, :].reshape(-1, self.x_dim)
+            self._bootstrap_save(it, samples, training_samples)
 
         return training_samples
 

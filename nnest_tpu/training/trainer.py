@@ -360,6 +360,16 @@ class Trainer:
 
         if self.path:
             self.save(os.path.join(self.path, 'models', 'netG.pkl'))
+            # End-of-training real/latent/synthetic triptych, like the
+            # reference always produces (trainer.py:241-245).
+            if self.x_dim >= 2:
+                try:
+                    self.plot_samples(samples, outfile=os.path.join(
+                        self.path, 'plots',
+                        'plot_%s.png' % self.total_iters))
+                except Exception as e:
+                    if self.log:
+                        self.logger.warning('plot_samples failed: %s' % e)
 
         if self.log:
             self.logger.info(
@@ -451,15 +461,12 @@ class Trainer:
             xv, yv = np.meshgrid(xx, yy)
             xy = np.stack([xv, yv], -1).reshape(ng * ng, 2).astype(np.float32)
             xs = np.asarray(pts_fn(xy)).reshape(ng, ng, 2)
-            for sl in [(np.s_[1:], np.s_[:-1]), ]:
-                p1 = xs[sl[0], :, :].reshape(-1, 2)
-                p2 = xs[sl[1], :, :].reshape(-1, 2)
+            # warped grid lines along both mesh directions
+            for p1, p2 in ((xs[1:, :, :], xs[:-1, :, :]),
+                           (xs[:, 1:, :], xs[:, :-1, :])):
                 axis.add_collection(mc.LineCollection(
-                    list(zip(p1, p2)), linewidths=1, alpha=0.2, color='k'))
-                p1 = xs[:, sl[0][0], :].reshape(-1, 2)
-                p2 = xs[:, sl[1][0], :].reshape(-1, 2)
-                axis.add_collection(mc.LineCollection(
-                    list(zip(p1, p2)), linewidths=1, alpha=0.2, color='k'))
+                    list(zip(p1.reshape(-1, 2), p2.reshape(-1, 2))),
+                    linewidths=1, alpha=0.2, color='k'))
 
         z = self.get_latent_samples(samples, to_numpy=True)
         if self.x_dim == 2:

@@ -44,6 +44,7 @@ def test_ensemble_sampler_run(tmp_path, gauss_problem):
 
 
 def test_ensemble_bootstrap(tmp_path, gauss_problem):
+    import os
     like, prior, training = gauss_problem
     s = EnsembleSampler(2, like, prior=prior,
                         log_dir=str(tmp_path / 'boot'), seed=3)
@@ -52,3 +53,29 @@ def test_ensemble_bootstrap(tmp_path, gauss_problem):
     assert out.shape[0] > 100
     assert abs(np.mean(out)) < 0.35
     assert abs(np.std(out) - 1.0) < 0.35
+    # Each phase is persisted (reference streams to an HDF backend,
+    # ensemble.py:140-141; here one checkpoint per completed phase).
+    ck = s.logs['checkpoint']
+    for ph in (0, 1, 2):
+        assert os.path.exists(os.path.join(ck, 'bootstrap_%d.npz' % ph))
+    # End-of-training triptych is auto-emitted (reference trainer.py:241-245)
+    plots = os.listdir(s.logs['plots'])
+    assert any(f.startswith('plot_') for f in plots)
+
+
+def test_ensemble_bootstrap_resume(tmp_path, gauss_problem):
+    """A crashed bootstrap resumes from the last completed phase instead of
+    redoing the whole run."""
+    like, prior, training = gauss_problem
+    s = EnsembleSampler(2, like, prior=prior, append_run_num=False,
+                        log_dir=str(tmp_path / 'bootres'), seed=3)
+    s.bootstrap(200, 32, iters=1, thin=5)
+    calls_after_first = s.total_calls
+
+    s2 = EnsembleSampler(2, like, prior=prior, append_run_num=False,
+                         log_dir=str(tmp_path / 'bootres'), seed=3)
+    out = s2.bootstrap(200, 32, iters=2, thin=5, resume=True)
+    # phase 0 + phase 1 were reloaded, only phase 2 ran: one latent round
+    assert s2.total_calls == calls_after_first + 200 * 32
+    assert out.shape[1] == 2
+    assert abs(np.mean(out)) < 0.35
