@@ -257,7 +257,7 @@ def _half_inverse(y, cond, mlp, seg, args, K, B):
     return _rqs_inverse_2d(y, uw, uh, ud_sp, c, K, B)
 
 
-def inverse_body_2d(z, args, meta):
+def inverse_body_2d(z, args, meta, include_const=True):
     """Full chain inverse on a batch tile; 2D ops only (Mosaic-safe)."""
     logdet = jnp.zeros((z.shape[0], 1), jnp.float32)
     for block in reversed(meta['blocks']):
@@ -273,7 +273,8 @@ def inverse_body_2d(z, args, meta):
         z = jnp.concatenate([lower, upper], axis=1)
         z = jnp.dot(z, args[block['winv']], precision=_PREC)
         z = (z - args[block['t']]) * jnp.exp(-args[block['s']])
-    logdet = logdet + args[meta['const_logdet']][0]
+    if include_const:
+        logdet = logdet + args[meta['const_logdet']][0]
     return z, logdet
 
 
@@ -293,15 +294,14 @@ def make_pallas_inverse(model, tile: int = 2048, interpret: bool = False):
     return inverse
 
 
-def pallas_inverse_from_consts(consts, meta, z, tile: int = 2048,
-                               interpret: bool = False):
-    """Run the fused kernel given pre-packed (consts, meta)."""
+def _run_tiled(body, consts, meta, z, tile, interpret):
+    """Common pallas_call plumbing: tile the batch, broadcast the consts."""
 
     def kernel(*refs):
         z_ref = refs[0]
         out_x, out_ld = refs[-2], refs[-1]
         args = [r[:] for r in refs[1:-2]]
-        x, ld = inverse_body_2d(z_ref[:], args, meta)
+        x, ld = body(z_ref[:], args)
         out_x[:] = x
         out_ld[:] = ld
 
@@ -328,3 +328,29 @@ def pallas_inverse_from_consts(consts, meta, z, tile: int = 2048,
         interpret=interpret,
     )(z, *consts)
     return x[:n], ld[:n, 0]
+
+
+def pallas_inverse_from_consts(consts, meta, z, tile: int = 2048,
+                               interpret: bool = False):
+    """Run the whole chain inverse as ONE fused kernel."""
+    return _run_tiled(
+        lambda zt, args: inverse_body_2d(zt, args, meta),
+        consts, meta, z, tile, interpret)
+
+
+def pallas_inverse_per_block(consts, meta, z, tile: int = 2048,
+                             interpret: bool = False):
+    """Run the chain inverse as one Pallas kernel PER BLOCK (one
+    [ActNorm⁻¹ ∘ 1x1Conv⁻¹ ∘ NSF-CL⁻¹] unit each), chained in XLA. ~1/B of
+    the fused kernel's op count per compile unit — for environments whose
+    (remote) compile budget rejects the fully fused kernel."""
+    n = z.shape[0]
+    logdet = jnp.zeros((n,), jnp.float32)
+    for block in reversed(meta['blocks']):
+        sub = {'blocks': [block], 'dim': meta['dim']}
+        z, ld = _run_tiled(
+            lambda zt, args, sub=sub: inverse_body_2d(
+                zt, args, sub, include_const=False),
+            consts, meta, z, tile, interpret)
+        logdet = logdet + ld
+    return z, logdet + consts[meta['const_logdet']][0]
