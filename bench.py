@@ -46,7 +46,7 @@ MCMC_CHAINS = 16384
 MCMC_STEPS = 100
 NESTED_CHAINS = 4096
 NESTED_STEPS = 80          # 5 * x_dim, the nested default
-REJECTION_TRIALS = 4096
+REJECTION_TRIALS = 16384
 TRAIN_N = 1000
 TRAIN_EPOCHS = 50
 

@@ -355,6 +355,18 @@ class Sampler:
             self.trainer.model, like_fn, prior_fn,
             num_slow=self.num_slow, oversample_rate=self.oversample_rate,
             num_derived=num_derived)
+        # One-dispatch chain init: z = forward(x), x' = inverse(z) (the
+        # numerical-consistency re-projection, reference sampler.py:262-289)
+        # and the u-space log-prior, fused so initialization costs a single
+        # device round-trip instead of four.
+        model = self.trainer.model
+
+        def _proj(params, x0):
+            z, _ = model.forward(params, x0)
+            x, _ = model.inverse(params, z)
+            return z, x, prior_fn(x)
+
+        self._init_project = jax.jit(_proj)
         return self._kernels
 
     @property
@@ -379,21 +391,23 @@ class Sampler:
 
         if init_samples is not None:
             num_chains = init_samples.shape[0]
-            init_samples = jnp.asarray(init_samples, jnp.float32)
-            z, _ = self.trainer._forward(params, init_samples)
-            # Re-project through the inverse for numerical consistency
-            x, _ = self.trainer._inverse(params, z)
+            # One fused dispatch: z = forward(x), re-projected x = inverse(z)
+            # (numerical consistency, reference sampler.py:262-289) and the
+            # u-space log-prior — avoids fetching x to host just to compute
+            # a jax-traceable prior (3 extra link round-trips per call).
+            self.kernels  # ensure _init_project exists
+            z, x, logl_prior = self._init_project(
+                params, np.asarray(init_samples, dtype=np.float32))
             if init_loglikes is None or init_derived is None:
                 logl, derived = self.loglike(np.asarray(x))
                 ncall_init += num_chains
-                logl = jnp.asarray(logl, jnp.float32)
-                derived = jnp.asarray(derived, jnp.float32)
+                logl = np.asarray(logl, dtype=np.float32)
+                derived = np.asarray(derived, dtype=np.float32)
             else:
-                logl = jnp.asarray(init_loglikes, jnp.float32)
-                derived = jnp.asarray(
-                    np.asarray(init_derived, dtype=np.float32).reshape(
-                        num_chains, -1)[:, :self.num_derived], jnp.float32)
-            logl_prior = jnp.asarray(self.prior(np.asarray(x)), jnp.float32)
+                logl = np.asarray(init_loglikes, dtype=np.float32)
+                derived = np.asarray(
+                    init_derived, dtype=np.float32).reshape(
+                        num_chains, -1)[:, :self.num_derived]
         else:
             for i in range(max_start_tries):
                 z = self.trainer.model.sample_base(self._next_key(),

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Finite sentinel for "impossible" log-densities inside jitted kernels.
 # CRITICAL TPU performance rule discovered by bisection: arithmetic on
@@ -188,19 +189,19 @@ class LatentKernels:
         the chains' own moments.
         """
         constrained = loglstar is not None
-        ll_star = jnp.float32(loglstar if constrained else LOG_NEG)
+        ll_star = np.float32(loglstar if constrained else LOG_NEG)
         dim = init_z.shape[-1]
         if stat_moments is None:
-            mu = jnp.zeros((dim,), jnp.float32)
-            var = jnp.ones((dim,), jnp.float32)
+            mu = np.zeros((dim,), np.float32)
+            var = np.ones((dim,), np.float32)
             own_moments = True
         else:
-            mu = jnp.asarray(stat_moments[0], jnp.float32)
-            var = jnp.asarray(stat_moments[1], jnp.float32)
+            mu = np.asarray(stat_moments[0], np.float32)
+            var = np.asarray(stat_moments[1], np.float32)
             own_moments = False
         return self._mcmc(params, key, init_z, init_logl, init_derived,
                           init_logl_prior, ll_star,
-                          jnp.float32(step_size), mu, var,
+                          np.float32(step_size), mu, var,
                           mcmc_steps=mcmc_steps,
                           constrained=constrained,
                           dynamic_step_size=dynamic_step_size,
@@ -388,7 +389,7 @@ class LatentKernels:
                 return x, logl, derived, ok
             self._rejection_prior = (prior, jax.jit(
                 impl, static_argnames=('num_trials',)))
-        return self._rejection_prior[1](key, jnp.float32(loglstar),
+        return self._rejection_prior[1](key, np.float32(loglstar),
                                         num_trials)
 
     # ------------------------------------------------------ rejection/flow
@@ -404,8 +405,9 @@ class LatentKernels:
         return max_log_det_j, max_r
 
     def envelope(self, params, live_u, enlargement_factor=1.1):
-        return self._envelope_impl(params, jnp.asarray(live_u, jnp.float32),
-                                   jnp.float32(enlargement_factor))
+        return self._envelope_impl(params,
+                                   np.asarray(live_u, dtype=np.float32),
+                                   np.float32(enlargement_factor))
 
     def rejection_flow(self, params, key, loglstar, max_log_det_j, max_r,
                        enlargement_factor, num_trials):
@@ -415,8 +417,8 @@ class LatentKernels:
         candidates passing prior+Jacobian cost a call)."""
         use_usample = getattr(self.model.base_dist, 'has_usample', False)
         return self._rejection_flow(
-            params, key, jnp.float32(loglstar), jnp.float32(max_log_det_j),
-            jnp.float32(max_r), jnp.float32(enlargement_factor),
+            params, key, np.float32(loglstar), np.float32(max_log_det_j),
+            np.float32(max_r), np.float32(enlargement_factor),
             num_trials=num_trials, use_usample=use_usample)
 
     def _rejection_flow_impl(self, params, key, loglstar, max_log_det_j,
@@ -451,7 +453,7 @@ class LatentKernels:
     def density(self, params, key, loglstar, num_trials):
         """Batched flow-density sampling (reference ``sampler.py:609-630``):
         z ~ base, x = flow⁻¹(z), keep if inside prior and logl > loglstar."""
-        return self._density(params, key, jnp.float32(loglstar),
+        return self._density(params, key, np.float32(loglstar),
                              num_trials=num_trials)
 
     def _density_impl(self, params, key, loglstar, *, num_trials):
@@ -497,8 +499,8 @@ class LatentKernels:
         does. All partner selections are gather-free (one-hot matmuls).
         """
         constrained = loglstar is not None
-        ll_star = jnp.float32(loglstar if constrained else LOG_NEG)
-        return self._stretch(params, key, z0, ll_star, jnp.float32(a),
+        ll_star = np.float32(loglstar if constrained else LOG_NEG)
+        return self._stretch(params, key, z0, ll_star, np.float32(a),
                              mcmc_steps=mcmc_steps, constrained=constrained,
                              moves=tuple(moves))
 

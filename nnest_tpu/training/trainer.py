@@ -441,7 +441,19 @@ class Trainer:
 
     def plot_samples(self, samples, outfile=None, plot_synthetic=True):
         """Real/latent/synthetic triptych with 2-D grid-warp overlay
-        (reference ``trainer.py:303-371``)."""
+        (reference ``trainer.py:303-371``).
+
+        RNG-neutral: the synthetic-sample draw must not advance the
+        trainer's key stream, because plotting only happens on the I/O
+        primary process — consuming a key here would silently desync the
+        lockstep PRNG across jax.distributed processes."""
+        saved_key = self._key
+        try:
+            return self._plot_samples_impl(samples, outfile, plot_synthetic)
+        finally:
+            self._key = saved_key
+
+    def _plot_samples_impl(self, samples, outfile, plot_synthetic):
         try:
             import matplotlib
             matplotlib.use('Agg')

@@ -38,8 +38,20 @@ def _launch(nproc, log_dir, port, max_iters=1000000, timeout=600):
     outs = [p.communicate(timeout=timeout)[0] for p in procs]
     results = []
     for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, \
-            'process %d failed:\n%s' % (i, out[-4000:])
+        with open(os.path.join(log_dir + '.worker%d.log' % i), 'w') as f:
+            f.write(out)
+        if p.returncode != 0:
+            # surface traceback lines, not whatever array dump preceded them
+            lines = out.splitlines()
+            keep = [j for j, l in enumerate(lines)
+                    if 'Error' in l or 'Traceback' in l or 'error' in l]
+            ctx = []
+            for j in keep:
+                ctx.extend(lines[j:j + 12])
+            raise AssertionError(
+                'process %d failed (rc %d):\n%s\n--- tail ---\n%s'
+                % (i, p.returncode, '\n'.join(ctx[:80]),
+                   '\n'.join(lines[-15:])))
         line = [l for l in out.splitlines() if l.startswith('RESULT ')]
         assert line, 'process %d printed no RESULT:\n%s' % (i, out[-2000:])
         results.append(json.loads(line[-1][len('RESULT '):]))
