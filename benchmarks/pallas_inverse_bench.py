@@ -48,6 +48,8 @@ def main():
     p.add_argument('--dim', type=int, default=16)
     p.add_argument('--steps', type=int, default=100)
     p.add_argument('--skip_native', action='store_true')
+    p.add_argument('--tiles', type=str, default='2048',
+                   help='comma-separated pallas batch tiles to try')
     args = p.parse_args()
 
     from nnest_tpu.flows import build_flow
@@ -81,19 +83,20 @@ def main():
     print('xla     : %.3f ms/step (compile %.1f s)' % (ms, cs), flush=True)
 
     if not args.skip_native:
-        for name, fn in (
-                ('pallas  ', pallas_spline.pallas_inverse_from_consts),
-                ('pallas_b', pallas_spline.pallas_inverse_per_block)):
-            try:
-                ms, cs = time_scan(
-                    lambda z: fn(consts, meta, z,
-                                 tile=min(2048, args.batch))[0],
-                    z0, args.steps)
-                print('%s: %.3f ms/step (compile %.1f s)' % (name, ms, cs),
-                      flush=True)
-            except Exception:
-                print('%s: NATIVE COMPILE FAILED' % name, flush=True)
-                traceback.print_exc()
+        for tile in [int(t) for t in args.tiles.split(',')]:
+            for name, fn in (
+                    ('pallas  ', pallas_spline.pallas_inverse_from_consts),
+                    ('pallas_b', pallas_spline.pallas_inverse_per_block)):
+                try:
+                    ms, cs = time_scan(
+                        lambda z: fn(consts, meta, z,
+                                     tile=min(tile, args.batch))[0],
+                        z0, args.steps)
+                    print('%s tile %4d: %.3f ms/step (compile %.1f s)'
+                          % (name, tile, ms, cs), flush=True)
+                except Exception as e:
+                    print('%s tile %4d: FAILED %s'
+                          % (name, tile, str(e)[:160]), flush=True)
 
 
 if __name__ == '__main__':

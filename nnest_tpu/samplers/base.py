@@ -457,10 +457,11 @@ class Sampler:
         and exposed via ``self._last_kernel_stats``.
 
         Returns (u, logl, derived, moved, scale, mean_jump, ncall)."""
-        (params, z, logl, derived, logl_prior, step_size,
-         ncall_init) = self._mcmc_init(
-            step_size, init_samples.shape[0], init_samples, init_loglikes,
-            init_derived, max_start_tries)
+        with self.timers.time('mcmc_init'):
+            (params, z, logl, derived, logl_prior, step_size,
+             ncall_init) = self._mcmc_init(
+                step_size, init_samples.shape[0], init_samples,
+                init_loglikes, init_derived, max_start_tries)
 
         with self.timers.time('mcmc_kernel'):
             out = self.kernels.mcmc(

@@ -249,8 +249,9 @@ class NestedSampler(Sampler):
                                   'density_flow'):
                 if need_pool:
                     if current_method == 'rejection_prior':
-                        s, ll, ds, nc = self._rejection_prior_sample(
-                            loglstar, num_trials=rejection_batch_size)
+                        with self.timers.time('candidate_kernel'):
+                            s, ll, ds, nc = self._rejection_prior_sample(
+                                loglstar, num_trials=rejection_batch_size)
                     elif current_method == 'rejection_flow':
                         # Recompute the envelope whenever the flow has been
                         # retrained since it was last computed (invalidated
@@ -260,15 +261,18 @@ class NestedSampler(Sampler):
                         # leave a stale envelope in place across retrains.
                         recompute = (self._max_log_det_j is None
                                      or env_gens >= rejection_cache_interval)
-                        s, ll, ds, nc = self._rejection_flow_sample(
-                            active_u.astype(np.float32), loglstar,
-                            enlargement_factor=rejection_enlargement_factor,
-                            cache=not recompute,
-                            num_trials=rejection_batch_size)
+                        with self.timers.time('candidate_kernel'):
+                            s, ll, ds, nc = self._rejection_flow_sample(
+                                active_u.astype(np.float32), loglstar,
+                                enlargement_factor=(
+                                    rejection_enlargement_factor),
+                                cache=not recompute,
+                                num_trials=rejection_batch_size)
                         env_gens = 0 if recompute else env_gens + 1
                     else:
-                        s, ll, ds, nc = self._density_sample(
-                            loglstar, num_trials=rejection_batch_size)
+                        with self.timers.time('candidate_kernel'):
+                            s, ll, ds, nc = self._density_sample(
+                                loglstar, num_trials=rejection_batch_size)
 
                     # Efficiency window (reference nested.py:327-328). The
                     # per-generation contribution is capped well below the
@@ -379,12 +383,15 @@ class NestedSampler(Sampler):
                     self.samples = np.asarray(saved_v)
                     self.weights = np.exp(np.asarray(saved_logwt) - logz)
                     self.loglikes = np.asarray(saved_logl)
-                    self._write_checkpoint(
-                        it, active_u, active_v, active_logl, active_derived,
-                        saved_v, saved_logl, saved_logwt, logz, h, logvol,
-                        fraction_remain, strategy, expired)
-                    self._save_samples(self.samples, self.loglikes,
-                                       weights=self.weights)
+                    with self.timers.time('checkpoint_io'):
+                        self._write_checkpoint(
+                            it, active_u, active_v, active_logl,
+                            active_derived, saved_v, saved_logl, saved_logwt,
+                            logz, h, logvol, fraction_remain, strategy,
+                            expired)
+                    with self.timers.time('chain_io'):
+                        self._save_samples(self.samples, self.loglikes,
+                                           weights=self.weights)
 
         # Integrate the remaining live points (nested.py:487-496).
         logvol = -len(saved_v) / self.num_live_points - \
@@ -426,8 +433,11 @@ class NestedSampler(Sampler):
                                       len(saved_v), logz, self.logzerr, h))
             phases = self.timers.summary()
             if phases:
-                self.logger.info('Phase timers: %s' % json.dumps(
-                    {k: round(v['total_s'], 2) for k, v in phases.items()}))
+                d = {k: round(v['total_s'], 2) for k, v in phases.items()}
+                plot_s = getattr(self.trainer, 'plot_seconds', 0.0)
+                if plot_s:
+                    d['train_plot'] = round(plot_s, 2)
+                self.logger.info('Phase timers: %s' % json.dumps(d))
         return self.logz
 
     # -------------------------------------------------------------- io

@@ -363,6 +363,7 @@ class Trainer:
             # End-of-training real/latent/synthetic triptych, like the
             # reference always produces (trainer.py:241-245).
             if self.x_dim >= 2:
+                t_plot = time.time()
                 try:
                     self.plot_samples(samples, outfile=os.path.join(
                         self.path, 'plots',
@@ -370,6 +371,8 @@ class Trainer:
                 except Exception as e:
                     if self.log:
                         self.logger.warning('plot_samples failed: %s' % e)
+                self.plot_seconds = (getattr(self, 'plot_seconds', 0.0)
+                                     + time.time() - t_plot)
 
         if self.log:
             self.logger.info(
