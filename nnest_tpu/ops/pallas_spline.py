@@ -14,14 +14,19 @@ matrices applied with MXU matmuls):
 - everything lives in VMEM for a batch tile; one ``pallas_call`` covers
   [ActNorm⁻¹ ∘ 1x1Conv⁻¹ ∘ NSF-CL⁻¹] × blocks + logdet.
 
-Status: validated against FlowModel.inverse in interpret mode
-(tests/test_pallas_spline.py); every op lowers in Mosaic (2D, no gathers, no
-reshapes). On this environment's remote-compile TPU tunnel the ~2k-op fused
-kernel exceeds practical compile budgets, and the plain-XLA gather-free body
-(ops/fused_spline._inverse_body) already reaches ~14M proposal-evals/s —
-within ~2x of the measured scan-step floor — so the XLA body remains the
-production default and this kernel is the opt-in
-(``make_pallas_inverse(model)``) for environments with local TPU compiles.
+Status: MEASURED, and demoted to documented experiment. Both the fused
+kernel and the per-block variant compile natively on TPU v5e (tile <= 512
+fused / <= 1024 per-block; tile 2048 exceeds the 16 MB scoped-VMEM limit)
+and are numerically correct, but in the 4096x16 MCMC scan they run
+1.20-1.37 ms/step vs 0.54 ms/step for the plain-XLA gather-free body
+(ops/fused_spline._inverse_body; scan floor 0.37 ms/step, same session —
+benchmarks/pallas_inverse_bench.py). The segment-matmul formulation that
+makes the kernel Mosaic-lowerable (bin selection / segmented softmax /
+cumsum as 0/1-matrix MXU matmuls) does strictly more arithmetic than the
+fused vector code XLA emits for the same math, and at dim<=50 the workload
+is latency- not bandwidth-bound, so kernel fusion buys nothing. The XLA
+body is the production default; this module remains as the measured
+experiment and a template for genuinely bandwidth-bound future kernels.
 """
 
 from __future__ import annotations
