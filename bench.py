@@ -21,7 +21,10 @@ with the reference v0.4.2, torch CPU, getdist/emcee stubbed, 2026-08-16):
        REF_NESTED_EVALS_PER_SEC = 2357.2
   D) Rejection-flow sampling: constrained candidates produced per second
      with a cached envelope (reference ``Sampler._rejection_flow_sample``,
-     nnest/sampler.py:545-607 — a one-candidate-at-a-time host loop).
+     nnest/sampler.py:545-607 — a one-candidate-at-a-time host loop). The
+     trial batch is 65,536 — the ceiling NestedSampler's adaptive
+     power-of-two trial ladder reaches in production once shell acceptance
+     decays (samplers/nested.py, rejection_max_trials).
        REF_REJECTION_CAND_PER_SEC = 112.2
 
 The TPU side runs the same statistical workloads batched wide (the point of
@@ -46,7 +49,7 @@ MCMC_CHAINS = 16384
 MCMC_STEPS = 100
 NESTED_CHAINS = 4096
 NESTED_STEPS = 80          # 5 * x_dim, the nested default
-REJECTION_TRIALS = 16384
+REJECTION_TRIALS = 65536
 TRAIN_N = 1000
 TRAIN_EPOCHS = 50
 

@@ -114,7 +114,9 @@ class NestedSampler(Sampler):
             rejection_cache_interval=10,
             rejection_enlargement_factor=1.1,
             rejection_trials=None,
-            rejection_batch_size=512):
+            rejection_batch_size=512,
+            rejection_max_trials=65536,
+            rejection_adapt_trials=True):
         if strategy is None or len(strategy) == 0:
             strategy = ['rejection_prior', 'mcmc']
         expired = []
@@ -146,6 +148,8 @@ class NestedSampler(Sampler):
             step_size = 1.0 / self.x_dim ** 0.5
         if rejection_trials is not None:
             rejection_batch_size = int(rejection_trials)
+        rejection_max_trials = max(int(rejection_max_trials),
+                                   rejection_batch_size)
 
         if self.single_or_primary_process:
             self.logger.info('MCMC steps [%d]' % mcmc_steps)
@@ -196,6 +200,19 @@ class NestedSampler(Sampler):
         mean_calls = 0.0
         mcmc_scale = step_size
         accept_point = True
+        # Adaptive rejection batch: the per-dispatch cost of the batched
+        # rejection kernels is latency- not FLOP-bound (one call costs the
+        # same at 512 or 65536 trials to within ~20%, BENCHMARKS.md), so as
+        # the shell shrinks and acceptance decays, doubling the trial batch
+        # keeps candidates-per-dispatch roughly constant. Pool consumption
+        # re-checks logl > loglstar, so a surplus pool stays exact (uniform
+        # conditioning); `cur_trials` only follows the power-of-two ladder
+        # to bound jit recompiles, and the controller is driven by the
+        # lockstep-identical accept count so multi-process runs stay in
+        # step. The reference draws one trial per host-loop pass
+        # (sampler.py:545-607) and has no analogue.
+        cur_trials = int(rejection_batch_size)
+        trials_target = max(16, self.num_live_points // 8)
 
         while fraction_remain > dlogz and it <= max_iters:
 
@@ -227,6 +244,7 @@ class NestedSampler(Sampler):
                     break
             if current_method != old_method:
                 need_pool = True
+                cur_trials = int(rejection_batch_size)
 
             def valid(method):
                 return method in strategy and method not in expired
@@ -251,7 +269,7 @@ class NestedSampler(Sampler):
                     if current_method == 'rejection_prior':
                         with self.timers.time('candidate_kernel'):
                             s, ll, ds, nc = self._rejection_prior_sample(
-                                loglstar, num_trials=rejection_batch_size)
+                                loglstar, num_trials=cur_trials)
                     elif current_method == 'rejection_flow':
                         # Recompute the envelope whenever the flow has been
                         # retrained since it was last computed (invalidated
@@ -267,18 +285,28 @@ class NestedSampler(Sampler):
                                 enlargement_factor=(
                                     rejection_enlargement_factor),
                                 cache=not recompute,
-                                num_trials=rejection_batch_size)
+                                num_trials=cur_trials)
                         env_gens = 0 if recompute else env_gens + 1
                     else:
                         with self.timers.time('candidate_kernel'):
                             s, ll, ds, nc = self._density_sample(
-                                loglstar, num_trials=rejection_batch_size)
+                                loglstar, num_trials=cur_trials)
 
                     # Efficiency window (reference nested.py:327-328). The
                     # per-generation contribution is capped well below the
                     # 20-entry window so the switch decision averages over
                     # at least ~4 independent pool generations instead of
                     # being dominated by one unlucky batch.
+                    if rejection_adapt_trials:
+                        n_ok = int(s.shape[0])
+                        if (n_ok < trials_target // 2
+                                and cur_trials * 2 <= rejection_max_trials):
+                            cur_trials *= 2
+                        elif (n_ok > trials_target * 2
+                                and cur_trials >= 2 * rejection_batch_size):
+                            cur_trials //= 2
+                        self._last_rejection_trials = cur_trials
+
                     ncs.extend([nc] * min(max(s.shape[0], 1), 5))
                     mean_calls = float(np.mean(ncs[-20:])) if len(ncs) > 20 \
                         else 0.0

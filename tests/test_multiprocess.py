@@ -13,6 +13,7 @@ a broadcast-synchronized checkpoint resume.
 
 import json
 import os
+import socket
 import subprocess
 import sys
 
@@ -20,7 +21,21 @@ import sys
 _WORKER = os.path.join(os.path.dirname(__file__), 'mp_worker.py')
 
 
-def _launch(nproc, log_dir, port, max_iters=1000000, timeout=600):
+def _free_port():
+    """Ask the OS for a currently-free TCP port (races are possible but far
+    rarer than colliding with a fixed port's TIME_WAIT from earlier runs)."""
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        s.bind(('127.0.0.1', 0))
+        return s.getsockname()[1]
+
+
+_COORD_ERRS = ('Address already in use', 'Connection refused',
+               'DEADLINE_EXCEEDED', 'UNAVAILABLE', 'failed to connect')
+
+
+def _launch(nproc, log_dir, port=None, max_iters=1000000, timeout=600,
+            _retries=2):
     env = dict(os.environ)
     # one device per process (the pytest conftest's 8-virtual-device flag
     # must not leak into the workers)
@@ -28,6 +43,8 @@ def _launch(nproc, log_dir, port, max_iters=1000000, timeout=600):
     env.pop('JAX_PLATFORMS', None)
     env['PYTHONPATH'] = (os.path.dirname(os.path.dirname(__file__))
                          + os.pathsep + env.get('PYTHONPATH', ''))
+    if port is None:
+        port = _free_port()
     procs = [subprocess.Popen(
         [sys.executable, _WORKER,
          '--coordinator', 'localhost:%d' % port,
@@ -41,6 +58,12 @@ def _launch(nproc, log_dir, port, max_iters=1000000, timeout=600):
         with open(os.path.join(log_dir + '.worker%d.log' % i), 'w') as f:
             f.write(out)
         if p.returncode != 0:
+            if _retries > 0 and any(e in out for e in _COORD_ERRS):
+                # coordinator bind/connect flake (stale port, slow rendez-
+                # vous under full-suite load): retry on a fresh port
+                return _launch(nproc, log_dir, port=None,
+                               max_iters=max_iters, timeout=timeout,
+                               _retries=_retries - 1)
             # surface traceback lines, not whatever array dump preceded them
             lines = out.splitlines()
             keep = [j for j, l in enumerate(lines)
@@ -60,7 +83,7 @@ def _launch(nproc, log_dir, port, max_iters=1000000, timeout=600):
 
 def test_two_process_nested_end_to_end(tmp_path):
     log_dir = str(tmp_path / 'mp')
-    results = _launch(2, log_dir, port=9731)
+    results = _launch(2, log_dir)
 
     r0 = [r for r in results if r['pid'] == 0][0]
     r1 = [r for r in results if r['pid'] == 1][0]
@@ -83,12 +106,12 @@ def test_two_process_checkpoint_resume(tmp_path):
     resume state is loaded by rank 0 and broadcast, ncall is not divided by
     the process count, and the run completes with correct evidence."""
     log_dir = str(tmp_path / 'mpresume')
-    first = _launch(2, log_dir, port=9733, max_iters=120)
+    first = _launch(2, log_dir, max_iters=120)
     assert first[0]['ncall'] == first[1]['ncall']
     ncall_first = first[0]['ncall']
     assert first[0]['niter'] <= 122
 
-    second = _launch(2, log_dir, port=9735)
+    second = _launch(2, log_dir)
     r0 = [r for r in second if r['pid'] == 0][0]
     r1 = [r for r in second if r['pid'] == 1][0]
     assert r0['logz'] == r1['logz']

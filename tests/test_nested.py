@@ -112,3 +112,35 @@ def test_strategy_ladder_flow_rejection(tmp_path):
           train_iters=50, dlogz=0.1, rejection_batch_size=256)
     assert np.isfinite(s.logz)
     assert abs(s.logz + 3.589) <= 0.6
+
+
+def test_adaptive_rejection_trials(tmp_path):
+    """The rejection batch doubles (power-of-two ladder) as shell acceptance
+    decays, keeping candidates-per-dispatch roughly constant; surplus pool
+    candidates are re-filtered against the rising loglstar at consume time so
+    the evidence stays exact. No reference analogue (its rejection loop draws
+    one trial per host pass, sampler.py:545-607)."""
+    like = Gaussian(2, 0.0, lim=3)
+    s = NestedSampler(2, like, transform=lambda x: 3 * x,
+                      num_live_points=100,
+                      log_dir=str(tmp_path / 'adapt'), resume=False,
+                      seed=5)
+    s.run(strategy=['rejection_prior'], max_iters=400, dlogz=1e-9,
+          rejection_batch_size=64, rejection_max_trials=1024,
+          volume_switch=0.0)
+    # by e^{-4} prior volume the 64-trial batch yields ~1 accept per call:
+    # the controller must have climbed the ladder
+    assert s._last_rejection_trials > 64
+    assert s._last_rejection_trials <= 1024
+    assert np.isfinite(s.logz)
+
+    # controller off: the batch stays fixed
+    s2 = NestedSampler(2, like, transform=lambda x: 3 * x,
+                       num_live_points=100,
+                       log_dir=str(tmp_path / 'fixed'), resume=False,
+                       seed=5)
+    s2.run(strategy=['rejection_prior'], max_iters=150, dlogz=1e-9,
+           rejection_batch_size=64, rejection_adapt_trials=False,
+           volume_switch=0.0)
+    assert not hasattr(s2, '_last_rejection_trials') or \
+        s2._last_rejection_trials == 64
