@@ -38,6 +38,11 @@ from nnest_tpu.utils.evaluation import (
 from nnest_tpu.utils.logger import create_logger, get_or_create_run_dir
 
 
+# Compiled once; an eager split is a full remote dispatch per call on the
+# axon TPU tunnel. tuple() inside jit avoids an eager getitem afterwards.
+_split_key = jax.jit(lambda k: tuple(jax.random.split(k)))
+
+
 def _is_jax_traceable(fn, example_shape):
     try:
         jax.eval_shape(fn, jax.ShapeDtypeStruct(example_shape, jnp.float32))
@@ -249,8 +254,26 @@ class Sampler:
             json.dump(d, f, indent=4)
 
     def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
+        # jitted split: an *eager* jax.random.split is a per-call remote
+        # dispatch on the TPU tunnel (~0.1-1 s each; profiled at ~0.8 s/call)
+        self._key, sub = _split_key(self._key)
         return sub
+
+    def _fetch_all(self, tree):
+        """One batched async device→host pull for a pytree of kernel
+        outputs. ``jax.device_get`` issues every leaf's copy_to_host_async
+        before blocking, so the transfers overlap in flight — sequential
+        ``np.asarray``/``int()``/``float()`` pulls cost one link round-trip
+        *each* (profiled: 4.7k pulls = 58 s of a 156 s 10-D run). Leaves
+        that are not fully addressable (multi-process global mesh) are
+        resharded to replicated first, same as ``_to_host``."""
+        def reshard(x):
+            if hasattr(x, 'is_fully_addressable') and \
+                    not x.is_fully_addressable:
+                from nnest_tpu.parallel.mesh import replicated
+                return jax.device_put(x, replicated(self.mesh))
+            return x
+        return jax.device_get(jax.tree.map(reshard, tree))
 
     def _to_host(self, x, dtype=None):
         """Fetch a kernel output to host numpy. In multi-process runs the
@@ -473,22 +496,24 @@ class Sampler:
                 collect_chains=False, stat_moments=stat_moments)
             jax.block_until_ready(out['final_x'])
 
+        out = self._fetch_all(out)
+
         self.total_calls += int(out['ncall'])
         self.total_fast_calls += int(out['fast_calls'])
         self.total_accepted += int(out['accepted'])
         self.total_rejected += int(out['rejected'])
 
-        self._last_diag_chains = self._to_host(out['diag_chains'],
-                                               dtype=np.float64)
+        self._last_diag_chains = np.asarray(out['diag_chains'],
+                                            dtype=np.float64)
         self._last_kernel_stats = {
-            'ess': self._to_host(out['ess'], dtype=np.float64),
+            'ess': np.asarray(out['ess'], dtype=np.float64),
             'acceptance': float(out['acceptance']),
             'mean_jump': float(out['mean_jump']),
         }
-        return (self._to_host(out['final_x'], dtype=np.float64),
-                self._to_host(out['final_logl'], dtype=np.float64),
-                self._to_host(out['final_derived'], dtype=np.float64),
-                self._to_host(out['moved']),
+        return (np.asarray(out['final_x'], dtype=np.float64),
+                np.asarray(out['final_logl'], dtype=np.float64),
+                np.asarray(out['final_derived'], dtype=np.float64),
+                np.asarray(out['moved']),
                 float(out['scale']),
                 float(out['mean_jump']),
                 int(out['ncall']) + ncall_init)
@@ -525,10 +550,11 @@ class Sampler:
             dynamic_step_size=dynamic_step_size,
             prior_volume_steps=prior_volume_steps)
 
-        samples = self._to_host(out['samples'], dtype=np.float64)
-        latent = self._to_host(out['latent'], dtype=np.float64)
-        derived_s = self._to_host(out['derived'], dtype=np.float64)
-        loglikes = self._to_host(out['loglikes'], dtype=np.float64)
+        out = self._fetch_all(out)
+        samples = np.asarray(out['samples'], dtype=np.float64)
+        latent = np.asarray(out['latent'], dtype=np.float64)
+        derived_s = np.asarray(out['derived'], dtype=np.float64)
+        loglikes = np.asarray(out['loglikes'], dtype=np.float64)
         scale_out = float(out['scale'])
         ncall = int(out['ncall']) + ncall_init
 
@@ -558,8 +584,8 @@ class Sampler:
         contains the *successful* trials (may be empty)."""
         prior = prior if prior is not None else self._user_prior
         trials = int(num_trials) if num_trials else 512
-        x, logl, derived, ok = self.kernels.rejection_prior(
-            prior, self._next_key(), loglstar, trials)
+        x, logl, derived, ok = self._fetch_all(self.kernels.rejection_prior(
+            prior, self._next_key(), loglstar, trials))
         ok = np.asarray(ok)
         self.total_calls += trials
         n_ok = int(ok.sum())
@@ -579,16 +605,17 @@ class Sampler:
         self.trainer.ensure_init()
         params = self.trainer.params
         if not cache or self._max_log_det_j is None:
-            mld, mr = self.kernels.envelope(params, init_samples,
-                                            enlargement_factor)
+            mld, mr = self._fetch_all(self.kernels.envelope(
+                params, init_samples, enlargement_factor))
             self._max_log_det_j = float(mld)
             self._max_r = float(mr)
         if constant_efficiency_factor is not None:
             enlargement_factor = (
                 1.0 / constant_efficiency_factor) ** (1.0 / self.x_dim)
-        x, logl, derived, ok, n_evals = self.kernels.rejection_flow(
-            params, self._next_key(), loglstar, self._max_log_det_j,
-            self._max_r, enlargement_factor, int(num_trials))
+        x, logl, derived, ok, n_evals = self._fetch_all(
+            self.kernels.rejection_flow(
+                params, self._next_key(), loglstar, self._max_log_det_j,
+                self._max_r, enlargement_factor, int(num_trials)))
         ok = np.asarray(ok)
         self.total_calls += int(n_evals)
         n_ok = int(ok.sum())
@@ -599,8 +626,9 @@ class Sampler:
     def _density_sample(self, loglstar, num_trials=512):
         """Batched flow-density sampling (reference ``sampler.py:609-630``)."""
         self.trainer.ensure_init()
-        x, logl, derived, ok, n_evals = self.kernels.density(
-            self.trainer.params, self._next_key(), loglstar, int(num_trials))
+        x, logl, derived, ok, n_evals = self._fetch_all(self.kernels.density(
+            self.trainer.params, self._next_key(), loglstar,
+            int(num_trials)))
         ok = np.asarray(ok)
         self.total_calls += int(n_evals)
         n_ok = int(ok.sum())
@@ -652,9 +680,9 @@ class Sampler:
                 if i == max_start_tries - 1:
                     raise RuntimeError('Could not find starting value')
 
-        out = self.kernels.stretch(params, self._next_key(), z,
-                                   mcmc_steps=mcmc_steps, loglstar=loglstar,
-                                   moves=moves)
+        out = self._fetch_all(self.kernels.stretch(
+            params, self._next_key(), z, mcmc_steps=mcmc_steps,
+            loglstar=loglstar, moves=moves))
         samples = np.asarray(out['samples'], dtype=np.float64)
         latent = np.asarray(out['latent'], dtype=np.float64)
         derived = np.asarray(out['derived'], dtype=np.float64)

@@ -37,6 +37,11 @@ import numpy as np
 from nnest_tpu.priors import UniformPrior
 from nnest_tpu.samplers.base import Sampler
 
+# Compiled once per (n, hi); an eager randint is a full remote dispatch per
+# MCMC pool regeneration on the axon TPU tunnel.
+_randint = jax.jit(lambda key, n, hi: jax.random.randint(key, (n,), 0, hi),
+                   static_argnums=(1, 2))
+
 
 class NestedSampler(Sampler):
 
@@ -333,8 +338,8 @@ class NestedSampler(Sampler):
 
             elif current_method == 'mcmc':
                 if need_pool:
-                    idx = np.asarray(jax.random.randint(
-                        self._next_key(), (mcmc_num_chains,), 0,
+                    idx = np.asarray(_randint(
+                        self._next_key(), mcmc_num_chains,
                         self.num_live_points))
                     init_samples = active_u[idx, :]
                     init_loglikes = active_logl[idx]

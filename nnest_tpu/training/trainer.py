@@ -37,6 +37,10 @@ import optax
 from nnest_tpu.flows import build_flow
 from nnest_tpu.utils.logger import create_logger
 
+# Compiled once; an eager split is a full remote dispatch per call on the
+# axon TPU tunnel. tuple() inside jit avoids an eager getitem afterwards.
+_split_key = jax.jit(lambda k: tuple(jax.random.split(k)))
+
 
 def trainable_mask(params):
     """Pytree bool mask: False for frozen buffer leaves (dict keys starting
@@ -148,7 +152,9 @@ class Trainer:
     # ------------------------------------------------------------------ rng
 
     def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
+        # jitted split: an *eager* jax.random.split is a per-call remote
+        # dispatch over the TPU tunnel (profiled at ~0.8 s/call)
+        self._key, sub = _split_key(self._key)
         return sub
 
     # ----------------------------------------------------------------- init
@@ -324,6 +330,11 @@ class Trainer:
              train_losses, val_losses) = chunk_fn(
                 params, opt_state, best_params, best_val,
                 self._next_key(), train, valid, training_jitter)
+            # one batched pull for the per-chunk scalars/loss traces
+            # (sequential int()/float()/[-1] pulls are one tunnel
+            # round-trip each)
+            best_i, best_val_dev, train_losses, val_losses = jax.device_get(
+                (best_i, best_val_dev, train_losses, val_losses))
             bi = int(best_i)
             new_best = float(best_val_dev)
             if bi >= 0:
@@ -431,8 +442,11 @@ class Trainer:
     # --------------------------------------------------------- persistence
 
     def save(self, path):
+        # device_get issues every leaf's copy_to_host_async before blocking
+        # — per-leaf np.asarray costs one tunnel round-trip per parameter
+        # tensor (profiled: ~0.5 s/save for a ~50-leaf flow)
         with open(path, 'wb') as f:
-            pickle.dump(jax.tree.map(np.asarray, self.params), f)
+            pickle.dump(jax.device_get(self.params), f)
 
     def load(self, path):
         with open(path, 'rb') as f:
