@@ -443,6 +443,10 @@ class NestedSampler(Sampler):
             saved_logwt.append(logwt)
             saved_logl.append(active_logl[i])
 
+        # join any in-flight async triptych render before declaring the run
+        # (and its plots/ artifacts) complete
+        self.trainer.finish_plots()
+
         self.logz = logz
         self.h = h
         self.logzerr = float(np.sqrt(h / self.num_live_points))

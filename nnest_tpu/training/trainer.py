@@ -378,7 +378,8 @@ class Trainer:
                 try:
                     self.plot_samples(samples, outfile=os.path.join(
                         self.path, 'plots',
-                        'plot_%s.png' % self.total_iters))
+                        'plot_%s.png' % self.total_iters),
+                        asynchronous=True)
                 except Exception as e:
                     if self.log:
                         self.logger.warning('plot_samples failed: %s' % e)
@@ -456,40 +457,99 @@ class Trainer:
 
     # --------------------------------------------------------------- plots
 
-    def plot_samples(self, samples, outfile=None, plot_synthetic=True):
+    def plot_samples(self, samples, outfile=None, plot_synthetic=True,
+                     asynchronous=False):
         """Real/latent/synthetic triptych with 2-D grid-warp overlay
         (reference ``trainer.py:303-371``).
 
         RNG-neutral: the synthetic-sample draw must not advance the
         trainer's key stream, because plotting only happens on the I/O
         primary process — consuming a key here would silently desync the
-        lockstep PRNG across jax.distributed processes."""
+        lockstep PRNG across jax.distributed processes.
+
+        With ``asynchronous=True`` the device phase (flow transports of the
+        data/grid/synthetic points) still runs on the calling thread, but
+        the matplotlib render+save (~2.5 s each, the single largest phase
+        of a warm 10-D nested run) happens on a daemon thread via the
+        thread-safe OO API, overlapping with subsequent sampling. Call
+        ``finish_plots()`` before reading the output file."""
         saved_key = self._key
         try:
-            return self._plot_samples_impl(samples, outfile, plot_synthetic)
+            data = self._plot_samples_data(samples, plot_synthetic)
         finally:
             self._key = saved_key
-
-    def _plot_samples_impl(self, samples, outfile, plot_synthetic):
-        try:
-            import matplotlib
-            matplotlib.use('Agg')
-            import matplotlib.pyplot as plt
-            from matplotlib import collections as mc
-        except ImportError:
+        if data is None:
             return
-        samples = np.asarray(samples)
-        ncols = 3 if plot_synthetic else 2
-        fig, ax = plt.subplots(1, ncols, figsize=(4 * ncols + 1, 5))
-        ax[0].scatter(samples[:, 0], samples[:, 1], c='r', s=5, alpha=0.5)
-        ax[0].set_title('Real data')
+        if asynchronous:
+            import threading
+            self.finish_plots()
+            self._plot_thread = threading.Thread(
+                target=self._render_triptych, args=(data, outfile),
+                daemon=True)
+            self._plot_thread.start()
+        else:
+            self._render_triptych(data, outfile)
 
-        def add_grid(axis, pts_fn, xr, yr, ng=30):
+    def finish_plots(self):
+        """Join any in-flight asynchronous triptych render."""
+        t = getattr(self, '_plot_thread', None)
+        if t is not None:
+            t.join()
+            self._plot_thread = None
+
+    def _plot_samples_data(self, samples, plot_synthetic):
+        """Device phase: everything that touches the flow/TPU, pulled to
+        host numpy. Returns None when matplotlib is unavailable."""
+        try:
+            import matplotlib  # noqa: F401 probe only
+        except ImportError:
+            return None
+        samples = np.asarray(samples)
+
+        def warp_grid(pts_fn, xr, yr, ng=30):
             xx = np.linspace(*xr, ng)
             yy = np.linspace(*yr, ng)
             xv, yv = np.meshgrid(xx, yy)
             xy = np.stack([xv, yv], -1).reshape(ng * ng, 2).astype(np.float32)
-            xs = np.asarray(pts_fn(xy)).reshape(ng, ng, 2)
+            return np.asarray(pts_fn(xy)).reshape(ng, ng, 2)
+
+        data = {
+            'samples': samples,
+            'z': self.get_latent_samples(samples, to_numpy=True),
+            'synthetic': (self.get_synthetic_samples(samples.shape[0],
+                                                     to_numpy=True)
+                          if plot_synthetic else None),
+            'grids': None,
+            'total_iters': self.total_iters,
+        }
+        if self.x_dim == 2:
+            data['grids'] = (
+                warp_grid(lambda g: self.get_samples(g, to_numpy=True),
+                          (-3, 3), (-3, 3)),
+                warp_grid(
+                    lambda g: self.get_latent_samples(g, to_numpy=True),
+                    (samples[:, 0].min() - .1, samples[:, 0].max() + .1),
+                    (samples[:, 1].min() - .1, samples[:, 1].max() + .1)))
+        return data
+
+    def _render_triptych(self, data, outfile):
+        """Render phase: pure numpy + matplotlib OO API (no pyplot global
+        state), safe to run on a worker thread."""
+        try:
+            from matplotlib import collections as mc
+            from matplotlib.backends.backend_agg import FigureCanvasAgg
+            from matplotlib.figure import Figure
+        except ImportError:
+            return
+        samples, z = data['samples'], data['z']
+        ncols = 3 if data['synthetic'] is not None else 2
+        fig = Figure(figsize=(4 * ncols + 1, 5))
+        FigureCanvasAgg(fig)
+        ax = fig.subplots(1, ncols)
+        ax[0].scatter(samples[:, 0], samples[:, 1], c='r', s=5, alpha=0.5)
+        ax[0].set_title('Real data')
+
+        def add_grid(axis, xs):
             # warped grid lines along both mesh directions
             for p1, p2 in ((xs[1:, :, :], xs[:-1, :, :]),
                            (xs[:, 1:, :], xs[:, :-1, :])):
@@ -497,31 +557,25 @@ class Trainer:
                     list(zip(p1.reshape(-1, 2), p2.reshape(-1, 2))),
                     linewidths=1, alpha=0.2, color='k'))
 
-        z = self.get_latent_samples(samples, to_numpy=True)
-        if self.x_dim == 2:
-            add_grid(ax[0], lambda g: self.get_samples(g, to_numpy=True),
-                     (-3, 3), (-3, 3))
-            add_grid(ax[1],
-                     lambda g: self.get_latent_samples(g, to_numpy=True),
-                     (samples[:, 0].min() - .1, samples[:, 0].max() + .1),
-                     (samples[:, 1].min() - .1, samples[:, 1].max() + .1))
+        if data['grids'] is not None:
+            add_grid(ax[0], data['grids'][0])
+            add_grid(ax[1], data['grids'][1])
         ax[1].scatter(z[:, 0], z[:, 1], c='r', s=5, alpha=0.5)
         ax[1].set_title('Latent data')
-        if plot_synthetic:
-            xs = self.get_synthetic_samples(samples.shape[0], to_numpy=True)
+        if data['synthetic'] is not None:
+            xs = data['synthetic']
             ax[2].scatter(xs[:, 0], xs[:, 1], c='r', s=5, alpha=0.5)
             ax[2].set_title('Synthetic data')
-        plt.tight_layout()
+        fig.tight_layout()
         if outfile is not None:
-            plt.savefig(outfile)
+            fig.savefig(outfile)
         if self.writer is not None:
             # real + latent scatter to TensorBoard (reference
             # trainer.py:367-371)
             try:
-                self.writer.add_figure('latent', fig, self.total_iters)
+                self.writer.add_figure('latent', fig, data['total_iters'])
             except Exception:
                 pass
-        plt.close(fig)
 
 
 def _make_writer(path):

@@ -49,6 +49,9 @@ def test_gaussian_analytic_logz(tmp_path):
     sampler.run(train_iters=200, dlogz=0.1)
     err = max(3 * sampler.logzerr, 0.15)
     assert abs(sampler.logz - analytic) <= err
+    # the async triptych render must be joined (file on disk) by run end
+    plots = os.listdir(os.path.join(sampler.log_dir, 'plots'))
+    assert any(f.startswith('plot_') for f in plots)
 
 
 def test_checkpoint_resume(tmp_path):
