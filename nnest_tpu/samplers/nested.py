@@ -413,18 +413,27 @@ class NestedSampler(Sampler):
                     self._append_results_row(
                         it, loglstar, logz, fraction_remain, mcmc_scale,
                         pool, active_u)
-                    self.samples = np.asarray(saved_v)
-                    self.weights = np.exp(np.asarray(saved_logwt) - logz)
-                    self.loglikes = np.asarray(saved_logl)
-                    with self.timers.time('checkpoint_io'):
-                        self._write_checkpoint(
-                            it, active_u, active_v, active_logl,
-                            active_derived, saved_v, saved_logl, saved_logwt,
-                            logz, h, logvol, fraction_remain, strategy,
-                            expired)
-                    with self.timers.time('chain_io'):
-                        self._save_samples(self.samples, self.loglikes,
-                                           weights=self.weights)
+                    # Checkpoint / chain rewrites are O(saved rows): at
+                    # every log_interval the cumulative IO is quadratic in
+                    # run length (66 s of a 723 s 50-D run). Stretch the
+                    # cadence as the run grows — the cheap one-row
+                    # results.csv append above keeps its full cadence, and
+                    # the final artifacts are always written at run end.
+                    io_mult = 1 + it // (10 * self.num_live_points)
+                    if it % (log_interval * io_mult) == 0:
+                        self.samples = np.asarray(saved_v)
+                        self.weights = np.exp(
+                            np.asarray(saved_logwt) - logz)
+                        self.loglikes = np.asarray(saved_logl)
+                        with self.timers.time('checkpoint_io'):
+                            self._write_checkpoint(
+                                it, active_u, active_v, active_logl,
+                                active_derived, saved_v, saved_logl,
+                                saved_logwt, logz, h, logvol,
+                                fraction_remain, strategy, expired)
+                        with self.timers.time('chain_io'):
+                            self._save_samples(self.samples, self.loglikes,
+                                               weights=self.weights)
 
         # Integrate the remaining live points (nested.py:487-496).
         logvol = -len(saved_v) / self.num_live_points - \

@@ -40,6 +40,8 @@ from nnest_tpu.utils.logger import create_logger
 # Compiled once; an eager split is a full remote dispatch per call on the
 # axon TPU tunnel. tuple() inside jit avoids an eager getitem afterwards.
 _split_key = jax.jit(lambda k: tuple(jax.random.split(k)))
+_perm = jax.jit(lambda k, n: jax.random.permutation(k, n),
+                static_argnums=1)
 
 
 def trainable_mask(params):
@@ -294,7 +296,7 @@ class Trainer:
 
         n = samples.shape[0]
         n_valid = max(1, int(round(n * validation_fraction)))
-        perm = np.asarray(jax.random.permutation(self._next_key(), n))
+        perm = np.asarray(_perm(self._next_key(), n))
         valid = x[perm[:n_valid]]
         train = x[perm[n_valid:]]
         n_train = int(train.shape[0])
