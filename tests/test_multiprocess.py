@@ -119,3 +119,17 @@ def test_two_process_checkpoint_resume(tmp_path):
     # resumed global ncall keeps growing from the (undivided) saved count
     assert r0['ncall'] > ncall_first
     assert r0['niter'] > 121
+
+
+def test_four_process_lockstep(tmp_path):
+    """4 jax.distributed processes: the global-mesh collectives and the
+    lockstep host loop hold beyond the pairwise case (the reference accepts
+    arbitrary mpi_size, nnest/sampler.py:165-177)."""
+    results = _launch(4, str(tmp_path / 'mp4'))
+    assert len({r['logz'] for r in results}) == 1
+    assert len({r['ncall'] for r in results}) == 1
+    r0 = [r for r in results if r['pid'] == 0][0]
+    assert r0['nproc'] == 4 and r0['ndev'] == 4
+    assert abs(r0['logz'] + 3.589) <= 0.5
+    # exactly one I/O primary
+    assert sum(1 for r in results if r['has_logs']) == 1
