@@ -488,10 +488,16 @@ class Trainer:
             return
         if asynchronous:
             import threading
+
+            def render():
+                try:
+                    self._render_triptych(data, outfile)
+                except Exception as e:  # never crash the worker thread
+                    if self.log:
+                        self.logger.warning('triptych render failed: %s' % e)
+
             self.finish_plots()
-            self._plot_thread = threading.Thread(
-                target=self._render_triptych, args=(data, outfile),
-                daemon=True)
+            self._plot_thread = threading.Thread(target=render, daemon=True)
             self._plot_thread.start()
         else:
             self._render_triptych(data, outfile)
