@@ -101,6 +101,13 @@ class Trainer:
         # follows the platform (TPU when available) automatically.
         del use_gpu
 
+        # Persistent XLA executable cache: a fresh Trainer's jitted programs
+        # otherwise recompile per instance/process (~25 s in-process, the
+        # full remote-compile bill cross-process). Idempotent, respects
+        # user config, opt-out NNEST_TPU_NO_CACHE=1.
+        from nnest_tpu.utils.compilation_cache import enable_compilation_cache
+        enable_compilation_cache()
+
         self.x_dim = x_dim
         self.z_dim = x_dim
         self.batch_size = batch_size
