@@ -38,9 +38,7 @@ from nnest_tpu.utils.evaluation import (
 from nnest_tpu.utils.logger import create_logger, get_or_create_run_dir
 
 
-# Compiled once; an eager split is a full remote dispatch per call on the
-# axon TPU tunnel. tuple() inside jit avoids an eager getitem afterwards.
-_split_key = jax.jit(lambda k: tuple(jax.random.split(k)))
+from nnest_tpu.utils.rng import split_key as _split_key
 
 
 def _is_jax_traceable(fn, example_shape):
@@ -266,7 +264,9 @@ class Sampler:
         ``np.asarray``/``int()``/``float()`` pulls cost one link round-trip
         *each* (profiled: 4.7k pulls = 58 s of a 156 s 10-D run). Leaves
         that are not fully addressable (multi-process global mesh) are
-        resharded to replicated first, same as ``_to_host``."""
+        resharded to replicated first — the all-gather rides the
+        interconnect, the TPU-native replacement for the reference's MPI
+        candidate gather (``nested.py:416-427``)."""
         def reshard(x):
             if hasattr(x, 'is_fully_addressable') and \
                     not x.is_fully_addressable:
@@ -275,17 +275,14 @@ class Sampler:
             return x
         return jax.device_get(jax.tree.map(reshard, tree))
 
-    def _to_host(self, x, dtype=None):
-        """Fetch a kernel output to host numpy. In multi-process runs the
-        chain axis is sharded over a global mesh spanning processes, so the
-        output is not fully addressable locally; reshard to replicated
-        first (the all-gather rides the interconnect — the TPU-native
-        replacement for the reference's MPI candidate gather,
-        ``nested.py:416-427``)."""
-        if hasattr(x, 'is_fully_addressable') and not x.is_fully_addressable:
-            from nnest_tpu.parallel.mesh import replicated
-            x = jax.device_put(x, replicated(self.mesh))
-        return np.asarray(x, dtype=dtype)
+    def _join_plots(self):
+        """Join any in-flight async diagnostic render before main-thread
+        matplotlib work or before declaring run artifacts complete.
+        Guarded so a user-injected ``trainer=`` object without
+        ``finish_plots`` keeps working."""
+        fp = getattr(self.trainer, 'finish_plots', None)
+        if fp is not None:
+            fp()
 
     # ------------------------------------------------------- jax closures
 
@@ -759,6 +756,9 @@ class Sampler:
         """(reference ``sampler.py:465-472``)"""
         if self.log_dir is None:
             return
+        # matplotlib is not thread-safe: never draw on the main thread
+        # while an async triptych render is in flight
+        self._join_plots()
         try:
             import matplotlib
             matplotlib.use('Agg')

@@ -247,7 +247,7 @@ class EnsembleSampler(Sampler):
             training_samples = samples[:, ::thin, :].reshape(-1, self.x_dim)
             self._bootstrap_save(it, samples, training_samples)
 
-        self.trainer.finish_plots()
+        self._join_plots()
         return training_samples
 
     # ------------------------------------------------------------------ run
@@ -280,7 +280,7 @@ class EnsembleSampler(Sampler):
         if mcmc_steps > 1:
             self._chain_stats(samples)
 
-        self.trainer.finish_plots()
+        self._join_plots()
         self.samples = np.concatenate((samples, derived), axis=2)
         self.latent_samples = latent
         self.loglikes = loglikes

@@ -54,7 +54,7 @@ class MCMCSampler(EnsembleSampler):
             self._chain_stats(samples)
         self._plot_trace(samples, latent)  # reference sampler.py:460-461
 
-        self.trainer.finish_plots()
+        self._join_plots()
         self.samples = np.concatenate((samples, derived), axis=2)
         self.latent_samples = latent
         self.loglikes = loglikes

@@ -218,6 +218,7 @@ class NestedSampler(Sampler):
         # (sampler.py:545-607) and has no analogue.
         cur_trials = int(rejection_batch_size)
         trials_target = max(16, self.num_live_points // 8)
+        last_io_it = it      # iteration of the last checkpoint/chain write
 
         while fraction_remain > dlogz and it <= max_iters:
 
@@ -419,8 +420,12 @@ class NestedSampler(Sampler):
                     # cadence as the run grows — the cheap one-row
                     # results.csv append above keeps its full cadence, and
                     # the final artifacts are always written at run end.
+                    # Elapsed-iteration gate (not it-modulo: a modulo of the
+                    # stretched spacing can provably never fire when
+                    # log_interval > 10*num_live_points).
                     io_mult = 1 + it // (10 * self.num_live_points)
-                    if it % (log_interval * io_mult) == 0:
+                    if it - last_io_it >= log_interval * io_mult:
+                        last_io_it = it
                         self.samples = np.asarray(saved_v)
                         self.weights = np.exp(
                             np.asarray(saved_logwt) - logz)
@@ -454,7 +459,7 @@ class NestedSampler(Sampler):
 
         # join any in-flight async triptych render before declaring the run
         # (and its plots/ artifacts) complete
-        self.trainer.finish_plots()
+        self._join_plots()
 
         self.logz = logz
         self.h = h

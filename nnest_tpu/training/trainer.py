@@ -37,9 +37,8 @@ import optax
 from nnest_tpu.flows import build_flow
 from nnest_tpu.utils.logger import create_logger
 
-# Compiled once; an eager split is a full remote dispatch per call on the
-# axon TPU tunnel. tuple() inside jit avoids an eager getitem afterwards.
-_split_key = jax.jit(lambda k: tuple(jax.random.split(k)))
+from nnest_tpu.utils.rng import split_key as _split_key
+
 _perm = jax.jit(lambda k, n: jax.random.permutation(k, n),
                 static_argnums=1)
 
@@ -59,7 +58,6 @@ def trainable_mask(params):
 
 
 @jax.jit
-@jax.jit
 def _mean_nn_distance(x):
     """Mean distance to nearest neighbour (auto-jitter scale). MXU-friendly
     O(n²) pairwise distances; fine for live-point-sized sets. Jitted: run
@@ -67,7 +65,8 @@ def _mean_nn_distance(x):
     sq = jnp.sum(x ** 2, axis=1)
     d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
         x, x.T, precision=jax.lax.Precision.HIGHEST)
-    d2 = d2 + jnp.diag(jnp.full(x.shape[0], jnp.inf))
+    # finite self-distance sentinel (TPU rule: keep inf out of kernels)
+    d2 = d2 + jnp.diag(jnp.full(x.shape[0], 1e30))
     return jnp.mean(jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0)))
 
 
@@ -504,7 +503,10 @@ class Trainer:
                         self.logger.warning('triptych render failed: %s' % e)
 
             self.finish_plots()
-            self._plot_thread = threading.Thread(target=render, daemon=True)
+            # non-daemon: interpreter exit waits for the render (~2.5 s
+            # worst case) instead of killing it mid-savefig and leaving a
+            # truncated PNG for direct Trainer.train() callers
+            self._plot_thread = threading.Thread(target=render, daemon=False)
             self._plot_thread.start()
         else:
             self._render_triptych(data, outfile)

@@ -44,8 +44,11 @@ def enable_compilation_cache(cache_dir=None):
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         # default threshold (1 s) skips many of the small-but-remote
-        # compiles that dominate here
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+        # compiles that dominate here — but never clobber an explicit
+        # user threshold
+        if 'JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS' not in os.environ:
+            jax.config.update(
+                'jax_persistent_cache_min_compile_time_secs', 0.5)
     except Exception:
         return None
     return cache_dir
