@@ -182,15 +182,15 @@ class Sampler:
                      'num_slow': num_slow, 'flow': flow,
                      'sampler': getattr(self, 'sampler', '')})
 
-        if self.single_or_primary_process or os.path.isdir(
-                os.path.join(log_dir or '', 'info')):
-            if log_dir is not None:
-                self.logs = get_or_create_run_dir(
-                    log_dir, append_run_num=append_run_num)
-                self.log_dir = self.logs['run_dir']
-            else:
-                self.logs = None
-                self.log_dir = None
+        # Rank-0-only run-dir ownership (reference sampler.py:177,182-190).
+        # Strictly primary-gated: a timing-dependent "non-primary sees the
+        # info/ dir" path once let a second process acquire logs and spawn
+        # duplicate TensorBoard/model/plot writers on the shared dir
+        # (caught by the 4-process lockstep test).
+        if self.single_or_primary_process and log_dir is not None:
+            self.logs = get_or_create_run_dir(
+                log_dir, append_run_num=append_run_num)
+            self.log_dir = self.logs['run_dir']
         else:
             self.logs = None
             self.log_dir = None
