@@ -416,15 +416,15 @@ class NestedSampler(Sampler):
                         pool, active_u)
                     # Checkpoint / chain rewrites are O(saved rows): at
                     # every log_interval the cumulative IO is quadratic in
-                    # run length (66 s of a 723 s 50-D run). Stretch the
-                    # cadence as the run grows — the cheap one-row
-                    # results.csv append above keeps its full cadence, and
-                    # the final artifacts are always written at run end.
-                    # Elapsed-iteration gate (not it-modulo: a modulo of the
-                    # stretched spacing can provably never fire when
-                    # log_interval > 10*num_live_points).
-                    io_mult = 1 + it // (10 * self.num_live_points)
-                    if it - last_io_it >= log_interval * io_mult:
+                    # run length (66 s of a 723 s 50-D run). Spacing keyed
+                    # to the LAST write (geometric cadence, ~10% growth) so
+                    # it always fires regardless of log_interval/nlive
+                    # ratios, and cumulative rewrite cost stays O(n log n).
+                    # The cheap one-row results.csv append above keeps its
+                    # full cadence; final artifacts always written at run
+                    # end.
+                    spacing = max(log_interval, last_io_it // 10)
+                    if it - last_io_it >= spacing:
                         last_io_it = it
                         self.samples = np.asarray(saved_v)
                         self.weights = np.exp(

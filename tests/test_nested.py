@@ -147,3 +147,24 @@ def test_adaptive_rejection_trials(tmp_path):
            volume_switch=0.0)
     assert not hasattr(s2, '_last_rejection_trials') or \
         s2._last_rejection_trials == 64
+
+
+def test_checkpoint_cadence_never_starves(tmp_path):
+    """The artifact-IO throttle must keep writing checkpoints for ANY
+    log_interval/num_live_points ratio (a modulo- or moving-target-based
+    gate provably stops firing when log_interval > 10*nlive). Spacing is
+    keyed to the last write, so the cadence is geometric but never zero."""
+    like = Gaussian(2, 0.0, lim=3)
+    s = NestedSampler(2, like, transform=lambda x: 3 * x,
+                      num_live_points=50,
+                      log_dir=str(tmp_path / 'cadence'), resume=False,
+                      seed=9)
+    # log_interval (600) >> 10*nlive (500): the old gates never fired here
+    s.run(strategy=['rejection_prior'], max_iters=700, dlogz=1e-9,
+          log_interval=600, volume_switch=0.0)
+    import glob as _glob
+    cps = _glob.glob(os.path.join(s.log_dir, 'checkpoint',
+                                  'checkpoint_*.txt'))
+    its = sorted(int(os.path.basename(p)[len('checkpoint_'):-4])
+                 for p in cps)
+    assert any(i >= 600 for i in its), its
