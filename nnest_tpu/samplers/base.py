@@ -601,9 +601,21 @@ class Sampler:
         ``sampler.py:545-607``)."""
         self.trainer.ensure_init()
         params = self.trainer.params
-        if not cache or self._max_log_det_j is None:
-            mld, mr = self._fetch_all(self.kernels.envelope(
-                params, init_samples, enlargement_factor))
+        # The envelope kernel is one cheap dispatch, so it runs on EVERY
+        # pool generation: with ``cache`` the fresh live-set values are
+        # folded into the cached maxima (live points migrate between full
+        # recomputes — under a fixed flow the envelope must cover every
+        # live point seen, and max-folding is exact); without ``cache``
+        # (periodic recompute / post-retrain invalidation) the cache is
+        # replaced outright, which lets the envelope shrink as dead points
+        # leave the live set. Reference recomputes on a fixed iteration
+        # modulo (sampler.py:555-560).
+        mld, mr = self._fetch_all(self.kernels.envelope(
+            params, init_samples, enlargement_factor))
+        if cache and self._max_log_det_j is not None:
+            self._max_log_det_j = max(self._max_log_det_j, float(mld))
+            self._max_r = max(self._max_r, float(mr))
+        else:
             self._max_log_det_j = float(mld)
             self._max_r = float(mr)
         if constant_efficiency_factor is not None:

@@ -132,6 +132,32 @@ class EnsembleSampler(Sampler):
                  key_data=np.asarray(jax.random.key_data(self._key)),
                  total_calls=self.total_calls)
 
+    def _sync_bootstrap_state(self, loaded):
+        """Broadcast the rank-0 resume decision + restored state to every
+        process. Non-primary processes have ``self.logs is None`` (strict
+        rank-0 run-dir ownership), so their local load always returns None;
+        without this sync a resumed rank 0 would skip phases the others
+        replay, with divergent PRNG streams — collectives would mismatch.
+        Same pattern as ``NestedSampler._sync_checkpoint_state``."""
+        from jax.experimental import multihost_utils as mh
+        header = np.full(4, -1.0, np.float64)
+        if loaded is not None:
+            phase, ts = loaded
+            header[:4] = [1.0, phase, ts.shape[0], self.total_calls]
+        header = np.asarray(mh.broadcast_one_to_all(header))
+        if header[0] < 0.5:
+            return None
+        n_rows = int(header[2])
+        if loaded is not None:
+            ts = np.asarray(loaded[1], np.float64)
+        else:
+            ts = np.zeros((n_rows, self.x_dim), np.float64)
+        ts, key_data = mh.broadcast_one_to_all(
+            (ts, np.asarray(jax.random.key_data(self._key))))
+        self._key = jax.random.wrap_key_data(np.asarray(key_data))
+        self.total_calls = int(header[3])
+        return int(header[1]), np.array(ts, dtype=np.float64, copy=True)
+
     def _bootstrap_load_latest(self, max_phase):
         """Return (phase, training_samples) of the newest completed phase
         <= max_phase, restoring PRNG + counters, or None."""
@@ -175,7 +201,10 @@ class EnsembleSampler(Sampler):
 
         start_phase = -1
         if resume:
-            loaded = self._bootstrap_load_latest(iters)
+            loaded = (self._bootstrap_load_latest(iters)
+                      if self.single_or_primary_process else None)
+            if self.mpi_size > 1:
+                loaded = self._sync_bootstrap_state(loaded)
             if loaded is not None:
                 start_phase, training_samples = loaded
                 self.logger.info('Resumed bootstrap from phase [%d]'

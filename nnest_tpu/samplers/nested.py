@@ -121,7 +121,8 @@ class NestedSampler(Sampler):
             rejection_trials=None,
             rejection_batch_size=512,
             rejection_max_trials=65536,
-            rejection_adapt_trials=True):
+            rejection_adapt_trials=True,
+            retrain_nll_threshold=0.5):
         if strategy is None or len(strategy) == 0:
             strategy = ['rejection_prior', 'mcmc']
         expired = []
@@ -258,16 +259,38 @@ class NestedSampler(Sampler):
             if current_method != 'rejection_prior' and (
                     first_time or (it % update_interval == 0
                                    and it != last_trained_it)):
-                with self.timers.time('flow_train'):
-                    self.trainer.train(active_u.astype(np.float32),
-                                       max_iters=train_iters, jitter=jitter)
-                first_time = False
                 last_trained_it = it
-                # The rejection-flow envelope is a function of the flow
-                # params (reference sampler.py:555-560): any retrain
-                # invalidates it, regardless of which iteration the next
-                # pool regeneration happens to land on.
-                self._max_log_det_j = None
+                # Conditional retrain: the latent Metropolis/rejection
+                # kernels are exact for ANY fixed flow (the Jacobian enters
+                # the acceptance ratio), so flow quality only affects
+                # proposal efficiency — when the current flow still fits
+                # the new live set (mean NLL within retrain_nll_threshold
+                # nats of the last training's best validation NLL), skip
+                # the retrain. The reference retrains unconditionally every
+                # update_interval (nested.py:311-314); flow training was
+                # 54-60% of a warm 10-D run's wall clock. The NLL check is
+                # deterministic (no PRNG), so multi-process runs stay in
+                # lockstep. Disable with retrain_nll_threshold=None.
+                retrain = True
+                if (not first_time and retrain_nll_threshold is not None
+                        and self.trainer.best_validation_loss is not None):
+                    with self.timers.time('retrain_check'):
+                        nll_now = -float(np.mean(self.trainer.log_probs(
+                            active_u.astype(np.float32), to_numpy=True)))
+                    retrain = not (nll_now < self.trainer
+                                   .best_validation_loss
+                                   + retrain_nll_threshold)
+                if retrain:
+                    with self.timers.time('flow_train'):
+                        self.trainer.train(active_u.astype(np.float32),
+                                           max_iters=train_iters,
+                                           jitter=jitter)
+                    first_time = False
+                    # The rejection-flow envelope is a function of the flow
+                    # params (reference sampler.py:555-560): any retrain
+                    # invalidates it, regardless of which iteration the
+                    # next pool regeneration happens to land on.
+                    self._max_log_det_j = None
 
             if current_method in ('rejection_prior', 'rejection_flow',
                                   'density_flow'):
@@ -398,9 +421,9 @@ class NestedSampler(Sampler):
                 fraction_remain = np.logaddexp(logz, logz_remain) - logz
                 it += 1
 
-                if self.single_or_primary_process and \
-                        self.trainer.writer is not None:
-                    self.trainer.writer.add_scalar('logz', logz, it)
+                if self.single_or_primary_process:
+                    # thread-safe vs the async triptych render thread
+                    self.trainer.log_scalar('logz', logz, it)
 
                 if it > 0 and it % log_interval == 0 and \
                         self.single_or_primary_process:

@@ -8,9 +8,11 @@ patience / best-model restore (``trainer.py:134-245``), numpy-facing
 (``trainer.py:247-301``), ``plot_samples`` (``trainer.py:303-371``) and model
 checkpointing. Architectural differences (TPU-first):
 
-- One jitted *epoch* program: shuffle + batch + scan over train batches +
-  validation loss, all on device; the host loop only handles early stopping.
-  The reference dispatches per-batch torch ops from Python.
+- One jitted *training* program: a lax.while_loop over epochs (each a
+  shuffle + scan over train batches + validation loss) carrying the
+  best-validation params and the patience counter, so a whole early-stopped
+  ``train()`` is a single device dispatch. The reference dispatches
+  per-batch torch ops from Python.
 - Optimizer is optax Adam with torch-style L2 weight decay (decay added to
   the gradient *before* the Adam moments, matching ``torch.optim.Adam
   (weight_decay=…)`` used at ``trainer.py:121-122``), masked so frozen
@@ -27,6 +29,7 @@ from __future__ import annotations
 import logging
 import os
 import pickle
+import threading
 import time
 
 import jax
@@ -110,6 +113,9 @@ class Trainer:
         self.x_dim = x_dim
         self.z_dim = x_dim
         self.batch_size = batch_size
+        # epoch_chunk is retained for API compatibility; since the whole
+        # early-stopped training became one while_loop dispatch it no
+        # longer affects execution.
         self.epoch_chunk = max(1, int(epoch_chunk))
         # Optional jax.sharding.Mesh: training/validation batches are
         # dp-sharded so the NLL epoch scans run data-parallel across devices
@@ -135,6 +141,10 @@ class Trainer:
         self.logger = create_logger(__name__, level=log_level)
         self.log = log
         self.writer = None
+        # SummaryWriter is not documented thread-safe; the async triptych
+        # render thread calls add_figure while the main thread may be
+        # writing scalars — serialize all writer access through this lock.
+        self._writer_lock = threading.Lock()
 
         if load_model:
             self.path = os.path.join(log_dir, load_model)
@@ -160,6 +170,13 @@ class Trainer:
                          (flow, x_dim, num_slow))
 
     # ------------------------------------------------------------------ rng
+
+    def log_scalar(self, tag, value, step):
+        """Thread-safe TensorBoard scalar write (samplers log through this
+        instead of touching ``self.writer`` directly)."""
+        if self.writer is not None:
+            with self._writer_lock:
+                self.writer.add_scalar(tag, value, step)
 
     def _next_key(self):
         # jitted split: an *eager* jax.random.split is a per-call remote
@@ -203,75 +220,120 @@ class Trainer:
 
     # ------------------------------------------------------------- training
 
-    def _make_chunk_fn(self, n_train, n_valid, l2_norm, chunk):
-        """Build a jitted multi-epoch training program for fixed data sizes.
+    def _make_train_fn(self, n_train, n_valid, l2_norm, max_iters):
+        """Build a jitted FULL-training program for fixed data sizes.
 
-        One dispatch runs ``chunk`` epochs (each a lax.scan over shuffled
-        batches) and tracks the best-validation params *inside* the scan, so
-        the patience/best-restore logic of the reference
-        (``trainer.py:205-232``) costs one device round-trip per chunk
-        instead of one per epoch — the difference between ~3 and ~30+
-        epochs/sec over the TPU tunnel."""
+        One dispatch runs the entire early-stopped training: a
+        ``lax.while_loop`` over epochs (each a lax.scan over shuffled
+        batches) carrying the best-validation params and the patience
+        counter, so the patience/best-restore logic of the reference
+        (``trainer.py:205-232``) costs ONE device round-trip per ``train()``
+        call instead of one per epoch (or per 25-epoch chunk, the round-2
+        design) — flow retraining was 54–60% of a warm 10-D nested run's
+        wall clock, dominated by per-chunk dispatch+pull latency over the
+        remote-TPU link. ``patience`` is a runtime operand (no recompile
+        when it changes); ``max_iters`` is static (it sizes the loss-trace
+        buffers).
+
+        The tail batch trains too: when ``batch_size`` does not divide the
+        training-set size, the last batch is padded with repeated rows and
+        the loss is sample-masked (reference DataLoader semantics,
+        ``trainer.py:179-190`` drop_last=False; shapes stay static for
+        XLA)."""
         bs = min(self.batch_size, n_train)
-        nb = max(1, n_train // bs)
+        nb = (n_train + bs - 1) // bs
+        pad = nb * bs - n_train
         model = self.model
         opt = self._opt
 
-        def loss_fn(params, batch):
-            nll = -jnp.mean(model.log_prob(params, batch))
+        def loss_fn(params, batch, w):
+            lp = model.log_prob(params, batch)
+            nll = -jnp.sum(lp * w) / jnp.sum(w)
             if l2_norm > 0:
                 l2 = sum(jnp.sum(l ** 2)
                          for l in jax.tree_util.tree_leaves(params))
                 return nll + l2_norm * l2, nll
             return nll, nll
 
+        batch_w = np.ones((nb, bs), np.float32)
+        if pad:
+            batch_w[-1, bs - pad:] = 0.0
+        batch_w = jnp.asarray(batch_w)
+
         def one_epoch(params, opt_state, key, train_data, valid_data,
                       jitter):
             kperm, knoise = jax.random.split(key)
             perm = jax.random.permutation(kperm, n_train)
-            data = train_data[perm][:nb * bs].reshape(nb, bs, -1)
+            data = train_data[perm]
+            if pad:
+                # masked duplicate rows: values never contribute to the loss
+                data = jnp.concatenate([data, data[:pad]], axis=0)
+            data = data.reshape(nb, bs, -1)
             noise_keys = jax.random.split(knoise, nb)
 
             def body(carry, inp):
                 params, opt_state = carry
-                batch, nk = inp
+                batch, w, nk = inp
                 batch = batch + jitter * jax.random.normal(nk, batch.shape)
-                grads, nll = jax.grad(loss_fn, has_aux=True)(params, batch)
+                grads, nll = jax.grad(loss_fn, has_aux=True)(
+                    params, batch, w)
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), nll
 
             (params, opt_state), nlls = jax.lax.scan(
-                body, (params, opt_state), (data, noise_keys))
+                body, (params, opt_state), (data, batch_w, noise_keys))
             val_loss = -jnp.mean(model.log_prob(params, valid_data))
             return params, opt_state, jnp.mean(nlls), val_loss
 
-        def chunk_fn(params, opt_state, best_params, best_val, key,
-                     train_data, valid_data, jitter):
-            keys = jax.random.split(key, chunk)
+        def train_fn(params, opt_state, key, train_data, valid_data,
+                     jitter, patience):
+            def cond(s):
+                return jnp.logical_and(s['i'] < max_iters,
+                                       s['counter'] <= patience)
 
-            def epoch_body(carry, inp):
-                params, opt_state, best_params, best_val, best_i, i = carry
+            def body(s):
+                key, kep = jax.random.split(s['key'])
                 params, opt_state, train_loss, val_loss = one_epoch(
-                    params, opt_state, inp, train_data, valid_data, jitter)
-                better = val_loss < best_val
+                    s['params'], s['opt_state'], kep, train_data,
+                    valid_data, jitter)
+                better = val_loss < s['best_val']
                 best_params = jax.tree.map(
-                    lambda b, p: jnp.where(better, p, b), best_params,
-                    params)
-                best_val = jnp.where(better, val_loss, best_val)
-                best_i = jnp.where(better, i, best_i)
-                return ((params, opt_state, best_params, best_val, best_i,
-                         i + 1), (train_loss, val_loss))
+                    lambda b, p: jnp.where(better, p, b),
+                    s['best_params'], params)
+                return {
+                    'i': s['i'] + 1,
+                    'key': key,
+                    'params': params,
+                    'opt_state': opt_state,
+                    'best_params': best_params,
+                    'best_val': jnp.where(better, val_loss, s['best_val']),
+                    'best_i': jnp.where(better, s['i'], s['best_i']),
+                    'counter': jnp.where(better, 0, s['counter'] + 1),
+                    'train_trace': s['train_trace'].at[s['i']].set(
+                        train_loss),
+                    'val_trace': s['val_trace'].at[s['i']].set(val_loss),
+                }
 
-            carry0 = (params, opt_state, best_params,
-                      jnp.float32(best_val), jnp.int32(-1), jnp.int32(0))
-            carry, (train_losses, val_losses) = jax.lax.scan(
-                epoch_body, carry0, keys)
-            params, opt_state, best_params, best_val, best_i, _ = carry
-            return (params, opt_state, best_params, best_val, best_i,
-                    train_losses, val_losses)
+            # finite best-val sentinel (TPU rule: keep ±inf out of kernels)
+            s0 = {
+                'i': jnp.int32(0),
+                'key': key,
+                'params': params,
+                'opt_state': opt_state,
+                'best_params': params,
+                'best_val': jnp.float32(1e30),
+                'best_i': jnp.int32(-1),
+                'counter': jnp.int32(0),
+                'train_trace': jnp.zeros((max_iters,), jnp.float32),
+                'val_trace': jnp.zeros((max_iters,), jnp.float32),
+            }
+            s = jax.lax.while_loop(cond, body, s0)
+            return (s['params'], s['opt_state'], s['best_params'],
+                    s['best_val'], s['best_i'], s['i'],
+                    s['train_trace'], s['val_trace'])
 
-        return jax.jit(chunk_fn)
+        return jax.jit(train_fn)
 
     def train(self,
               samples,
@@ -283,7 +345,13 @@ class Trainer:
               patience=50,
               l2_norm=0.0):
         """Maximum-likelihood training with early stopping (reference
-        ``trainer.py:134-245``)."""
+        ``trainer.py:134-245``).
+
+        The model is saved once at the end of training (``save_interval``
+        is accepted for API compatibility; since the whole early-stopped
+        run is one device program there is no mid-training host loop to
+        save from — crash recovery is covered by the samplers'
+        checkpoints, which persist the flow params)."""
         start = time.time()
         samples = np.asarray(samples, dtype=np.float32)
         self.ensure_init(samples)
@@ -323,63 +391,45 @@ class Trainer:
             if valid.shape[0] % dp == 0:
                 valid = jax.device_put(valid, sh)
 
-        chunk = int(min(self.epoch_chunk, max_iters))
-        cache_key = (n_train, n_valid, float(l2_norm), chunk)
+        cache_key = (n_train, n_valid, float(l2_norm), int(max_iters))
         if cache_key not in self._epoch_cache:
-            self._epoch_cache[cache_key] = self._make_chunk_fn(
-                n_train, n_valid, l2_norm, chunk)
-        chunk_fn = self._epoch_cache[cache_key]
+            self._epoch_cache[cache_key] = self._make_train_fn(
+                n_train, n_valid, l2_norm, int(max_iters))
+        train_fn = self._epoch_cache[cache_key]
 
-        best_val = float('inf')
-        best_epoch = 0
-        best_params = self.params
-        counter = 0
-        epoch = 0
+        # ONE dispatch runs the whole early-stopped training; one batched
+        # pull retrieves the scalars + loss traces (sequential
+        # int()/float() pulls are one tunnel round-trip each).
+        (params, opt_state, best_params, best_val_dev, best_i, n_epochs,
+         train_trace, val_trace) = train_fn(
+            self.params, self._opt_state, self._next_key(), train, valid,
+            np.float32(training_jitter), np.int32(patience))
+        best_i, best_val, n_epochs, train_trace, val_trace = jax.device_get(
+            (best_i, best_val_dev, n_epochs, train_trace, val_trace))
+        n_epochs = int(n_epochs)
+        bi = int(best_i)
+        base_iter = self.total_iters
+        self.total_iters += n_epochs
 
-        params, opt_state = self.params, self._opt_state
-        while epoch < max_iters:
-            (params, opt_state, best_params, best_val_dev, best_i,
-             train_losses, val_losses) = chunk_fn(
-                params, opt_state, best_params, best_val,
-                self._next_key(), train, valid, training_jitter)
-            # one batched pull for the per-chunk scalars/loss traces
-            # (sequential int()/float()/[-1] pulls are one tunnel
-            # round-trip each)
-            best_i, best_val_dev, train_losses, val_losses = jax.device_get(
-                (best_i, best_val_dev, train_losses, val_losses))
-            bi = int(best_i)
-            new_best = float(best_val_dev)
-            if bi >= 0:
-                best_epoch = epoch + bi + 1
-                counter = chunk - 1 - bi
-            else:
-                counter += chunk
-            best_val = new_best
-            epoch += chunk
-            self.total_iters += chunk
-
-            val = float(val_losses[-1])
-            if self.log and (epoch <= chunk or
-                             (epoch // chunk) % max(
-                                 1, log_interval // chunk) == 0):
-                self.logger.info(
-                    'Epoch [%i] train loss [%5.4f] validation loss [%5.4f]'
-                    % (epoch, float(train_losses[-1]), val))
-            if self.writer is not None:
-                self.writer.add_scalar('loss', val, self.total_iters)
-            if self.path and save_interval and epoch % max(
-                    save_interval, chunk) < chunk:
-                self.save(os.path.join(self.path, 'models', 'netG.pkl'))
-
-            if counter > patience:
-                if self.log:
-                    self.logger.info('Epoch [%i] ran out of patience' % epoch)
-                break
+        if self.log:
+            for e in range(n_epochs):
+                if e == 0 or (e + 1) % max(1, log_interval) == 0:
+                    self.logger.info(
+                        'Epoch [%i] train loss [%5.4f] validation loss '
+                        '[%5.4f]' % (e + 1, float(train_trace[e]),
+                                     float(val_trace[e])))
+            if n_epochs < max_iters:
+                self.logger.info('Epoch [%i] ran out of patience' % n_epochs)
+        if self.writer is not None:
+            for e in range(n_epochs):
+                self.log_scalar('loss', float(val_trace[e]),
+                                base_iter + e + 1)
 
         self.params = best_params
         self._opt_state = opt_state
-        self.best_validation_epoch = best_epoch
-        self.best_validation_loss = best_val
+        self.best_validation_epoch = bi + 1 if bi >= 0 else 0
+        self.best_validation_loss = float(best_val)
+        best_epoch, best_val = self.best_validation_epoch, float(best_val)
 
         if self.path:
             self.save(os.path.join(self.path, 'models', 'netG.pkl'))
@@ -592,9 +642,21 @@ class Trainer:
             fig.savefig(outfile)
         if self.writer is not None:
             # real + latent scatter to TensorBoard (reference
-            # trainer.py:367-371)
+            # trainer.py:367-371) plus the training-data 'originals'
+            # scatter (reference trainer.py:160-166); writer access is
+            # serialized against main-thread scalar writes.
             try:
-                self.writer.add_figure('latent', fig, data['total_iters'])
+                fig0 = Figure(figsize=(5, 5))
+                FigureCanvasAgg(fig0)
+                ax0 = fig0.subplots(1, 1)
+                ax0.scatter(samples[:, 0], samples[:, 1], c='r', s=5,
+                            alpha=0.5)
+                ax0.set_title('Originals')
+                with self._writer_lock:
+                    self.writer.add_figure('latent', fig,
+                                           data['total_iters'])
+                    self.writer.add_figure('originals', fig0,
+                                           data['total_iters'])
             except Exception:
                 pass
 

@@ -149,6 +149,38 @@ def test_adaptive_rejection_trials(tmp_path):
         s2._last_rejection_trials == 64
 
 
+def test_conditional_retrain_skips_and_stays_exact(tmp_path):
+    """With retrain_nll_threshold the sampler skips retrains while the
+    current flow still fits the live set (flow staleness cannot bias the
+    evidence: the latent kernels are exact for any fixed flow). The run
+    must train strictly fewer times than the unconditional baseline and
+    still hit the analytic evidence."""
+    import math
+    from scipy.stats import norm
+    like = Gaussian(2, 0.0, lim=3)
+    mass = (norm.cdf(3) - norm.cdf(-3)) ** 2
+    analytic = math.log(mass) - math.log(36.0)
+
+    counts = []
+    for thr in (0.5, None):
+        s = NestedSampler(2, like, transform=lambda x: 3 * x,
+                          num_live_points=100,
+                          log_dir=str(tmp_path / ('thr_%s' % thr)),
+                          resume=False, seed=21)
+        n_trains = [0]
+        orig = s.trainer.train
+
+        def counting_train(*a, _orig=orig, _n=n_trains, **k):
+            _n[0] += 1
+            return _orig(*a, **k)
+
+        s.trainer.train = counting_train
+        s.run(train_iters=100, dlogz=0.1, retrain_nll_threshold=thr)
+        counts.append(n_trains[0])
+        assert abs(s.logz - analytic) <= max(3 * s.logzerr, 0.3)
+    assert counts[0] < counts[1], counts
+
+
 def test_checkpoint_cadence_never_starves(tmp_path):
     """The artifact-IO throttle must keep writing checkpoints for ANY
     log_interval/num_live_points ratio (a modulo- or moving-target-based

@@ -63,3 +63,32 @@ def test_auto_jitter():
     x = np.asarray(_ring_samples(100), dtype=np.float32)
     d = float(_mean_nn_distance(x))
     assert 0 < d < 1.0
+
+
+def test_tail_batch_trains():
+    """batch_size does not divide the training set: the masked tail batch
+    must train (reference DataLoader drop_last=False semantics,
+    trainer.py:179-190) and the loss must stay finite."""
+    samples = _ring_samples(233)  # 210 train / 23 valid at 0.1 split
+    t = Trainer(2, flow='spline', log_dir=None, log=False,
+                learning_rate=1e-3, seed=0, batch_size=100)
+    t.ensure_init(samples)
+    lp_before = float(np.mean(t.log_probs(samples, to_numpy=True)))
+    t.train(samples, max_iters=60, patience=60, jitter=0.01)
+    lp_after = float(np.mean(t.log_probs(samples, to_numpy=True)))
+    assert np.isfinite(t.best_validation_loss)
+    assert lp_after > lp_before + 0.2
+
+
+def test_device_side_early_stop():
+    """The whole early-stopped training is one device program: with a tiny
+    patience the epoch count must come in well under max_iters, and
+    total_iters must reflect the epochs actually run (not a chunk
+    multiple)."""
+    samples = _ring_samples(300, seed=1)
+    t = Trainer(2, flow='spline', log_dir=None, log=False,
+                learning_rate=1e-3, seed=0)
+    t.train(samples, max_iters=400, patience=3, jitter=0.01)
+    assert 1 <= t.total_iters < 400
+    assert np.isfinite(t.best_validation_loss)
+    assert t.best_validation_epoch <= t.total_iters
