@@ -1,0 +1,139 @@
+"""End-to-end nested-sampling benchmark / seed-aggregation sweep runner.
+
+Runs NestedSampler end-to-end on the canonical BASELINE.md configs and
+prints one JSON line per run plus a seed-aggregated summary per config
+(the reference's aggregation protocol,
+``/root/reference/examples/nested/analyse.py:89-95``: mean +/- scatter of
+logZ over repeated seeds, compared against the analytic truth and the
+per-run sqrt(h/N) error estimate).
+
+Examples:
+  # warm-wall probe: 3 in-process repeats of the 10-D Gaussian
+  python benchmarks/e2e_run.py --config gaussian:10 --seeds 0,1,2
+
+  # calibration sweep on the real TPU (background it - takes ~1-2 h)
+  python benchmarks/e2e_run.py --config gaussian:30 gaussian:50 \
+      rosenbrock:20 --seeds 0,1,2,3
+"""
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def analytic_gaussian_logz(dim, lim=3.0, sigma=1.0):
+    """Unit Gaussian in a [-lim, lim]^dim box prior."""
+    mass = math.erf(lim / (sigma * math.sqrt(2.0)))
+    return dim * (math.log(mass) - math.log(2.0 * lim))
+
+
+def run_config(name, dim, seed, log_root, num_live_points, dlogz,
+               train_iters, retrain_nll_threshold):
+    import numpy as np
+    from nnest_tpu import NestedSampler
+    from nnest_tpu.likelihoods import Gaussian, Rosenbrock
+
+    if name == 'gaussian':
+        like = Gaussian(dim, 0.0, lim=3)
+        transform = lambda x: 3 * x          # noqa: E731
+        truth = analytic_gaussian_logz(dim)
+    elif name == 'rosenbrock':
+        like = Rosenbrock(dim)
+        transform = lambda x: 5 * x          # noqa: E731
+        truth = None
+    else:
+        raise ValueError(name)
+
+    log_dir = os.path.join(log_root, '%s%d_s%d' % (name, dim, seed))
+    shutil.rmtree(log_dir, ignore_errors=True)
+    s = NestedSampler(dim, like, transform=transform,
+                      num_live_points=num_live_points, flow='spline',
+                      log_dir=log_dir, resume=False, seed=seed)
+    t0 = time.time()
+    kw = {}
+    if retrain_nll_threshold != 'default':
+        kw['retrain_nll_threshold'] = (
+            None if retrain_nll_threshold in ('none', 'None')
+            else float(retrain_nll_threshold))
+    s.run(train_iters=train_iters, dlogz=dlogz, **kw)
+    wall = time.time() - t0
+    phases = {k: round(v['total_s'], 2)
+              for k, v in s.timers.summary().items()}
+    plot_s = getattr(s.trainer, 'plot_seconds', 0.0)
+    if plot_s:
+        phases['train_plot'] = round(plot_s, 2)
+    rec = {
+        'config': '%s:%d' % (name, dim), 'seed': seed,
+        'logz': round(float(s.logz), 4),
+        'logzerr': round(float(s.logzerr), 4),
+        'truth': None if truth is None else round(truth, 4),
+        'ncall': int(s.total_calls), 'niter': int(s.niter),
+        'wall_s': round(wall, 1), 'phases': phases,
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--config', nargs='+', required=True,
+                    help='likelihood:dim, e.g. gaussian:10 rosenbrock:20')
+    ap.add_argument('--seeds', default='0,1,2,3')
+    ap.add_argument('--num_live_points', type=int, default=1000)
+    ap.add_argument('--dlogz', type=float, default=0.1)
+    ap.add_argument('--train_iters', type=int, default=500)
+    ap.add_argument('--retrain_nll_threshold', default='default',
+                    help="'default', 'none', or a float")
+    ap.add_argument('--log_root', default='/tmp/nnest_e2e')
+    ap.add_argument('--cpu', action='store_true',
+                    help='force the virtual-CPU platform (8 devices)')
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS', '') + \
+            ' --xla_force_host_platform_device_count=8'
+    import jax
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+    print(json.dumps({'backend': jax.default_backend(),
+                      'argv': sys.argv[1:]}), flush=True)
+
+    import numpy as np
+    seeds = [int(x) for x in args.seeds.split(',')]
+    for cfg in args.config:
+        name, dim = cfg.split(':')
+        recs = []
+        for seed in seeds:
+            recs.append(run_config(
+                name, int(dim), seed, args.log_root,
+                args.num_live_points, args.dlogz, args.train_iters,
+                args.retrain_nll_threshold))
+        logzs = np.asarray([r['logz'] for r in recs])
+        errs = np.asarray([r['logzerr'] for r in recs])
+        truth = recs[0]['truth']
+        summary = {
+            'config': cfg, 'n_seeds': len(seeds),
+            'logz_mean': round(float(np.mean(logzs)), 4),
+            'logz_scatter': round(float(np.std(logzs, ddof=1)), 4)
+            if len(seeds) > 1 else None,
+            'mean_logzerr': round(float(np.mean(errs)), 4),
+            'truth': truth,
+            'mean_wall_s': round(float(np.mean([r['wall_s']
+                                                for r in recs])), 1),
+        }
+        if truth is not None and len(seeds) > 1:
+            scatter = max(float(np.std(logzs, ddof=1)), 1e-9)
+            summary['sigma_distance'] = round(
+                abs(float(np.mean(logzs)) - truth) / scatter, 2)
+        print(json.dumps({'SUMMARY': summary}), flush=True)
+
+
+if __name__ == '__main__':
+    main()

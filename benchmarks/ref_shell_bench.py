@@ -1,0 +1,75 @@
+"""Measure the reference's rejection-flow candidates/s at a realistic
+shell (loglstar = 90th pct of its own flow-accepted candidate logl, i.e.
+~10% shell acceptance) AND re-validate the permissive-bound number.
+
+Matches bench.py's TPU-side workload: 16-D Rosenbrock (x = 5u), box prior
+|u| <= 1, untrained 3-block spline flow, 1000 live points at 0.1-scale.
+"""
+import json
+import os
+import sys
+import time
+import types
+
+sys.path.insert(0, '/root/reference')
+for m in ('getdist', 'getdist.mcsamples', 'emcee'):
+    mod = types.ModuleType(m)
+    if m == 'getdist.mcsamples':
+        mod.MCSamples = object
+    sys.modules.setdefault(m, mod)
+sys.modules['getdist'].mcsamples = sys.modules['getdist.mcsamples']
+
+import numpy as np
+import torch
+torch.set_num_threads(4)
+
+from nnest.sampler import Sampler
+
+X_DIM = 16
+
+
+def loglike(x):
+    return -np.sum(100.0 * (x[:, 1:] - x[:, :-1] ** 2) ** 2
+                   + (1.0 - x[:, :-1]) ** 2, axis=1)
+
+
+def prior(u):
+    return 0.0 if np.all(np.abs(u) <= 1.0) else -np.inf
+
+
+s = Sampler(X_DIM, loglike, transform=lambda x: 5 * x, prior=prior,
+            transform_prior=False, flow='spline', num_blocks=3,
+            log_dir='/tmp/refbench', append_run_num=True)
+rng = np.random.RandomState(0)
+init_samples = 0.1 * rng.randn(1000, X_DIM).astype(np.float32)
+
+# ---- collect flow-accepted candidates under the permissive bound -------
+s._rejection_flow_sample(init_samples, -1e9, cache=False)  # builds cache
+cand_logl = []
+t0 = time.time()
+while len(cand_logl) < 300 and time.time() - t0 < 60:
+    x, logl, derived, nc = s._rejection_flow_sample(init_samples, -1e9,
+                                                    cache=True)
+    cand_logl.append(float(logl[0]))
+loglstar_shell = float(np.percentile(cand_logl, 90.0))
+print(json.dumps({'n_cand_for_quantile': len(cand_logl),
+                  'loglstar_shell': loglstar_shell}), flush=True)
+
+# ---- timed measurement at both bounds ----------------------------------
+for tag, loglstar, budget in (('permissive', -1e9, 20.0),
+                              ('shell', loglstar_shell, 60.0)):
+    # warm one call
+    s._rejection_flow_sample(init_samples, loglstar, cache=True)
+    n = 0
+    ncall = 0
+    t0 = time.time()
+    while time.time() - t0 < budget:
+        x, logl, derived, nc = s._rejection_flow_sample(
+            init_samples, loglstar, cache=True)
+        n += 1
+        ncall += nc
+    dt = time.time() - t0
+    print(json.dumps({'workload': tag, 'loglstar': loglstar,
+                      'candidates': n, 'seconds': round(dt, 2),
+                      'cand_per_sec': round(n / dt, 3),
+                      'likelihood_calls': int(ncall)}), flush=True)

@@ -24,16 +24,42 @@ def main():
     p.add_argument('--log_dir', required=True)
     p.add_argument('--max_iters', type=int, default=1000000)
     p.add_argument('--seed', type=int, default=7)
+    p.add_argument('--sampler', default='nested',
+                   choices=('nested', 'ensemble'))
+    p.add_argument('--bootstrap_iters', type=int, default=1)
     a = p.parse_args()
 
     jax.distributed.initialize(a.coordinator, a.num_processes, a.process_id)
 
-    from nnest_tpu import NestedSampler
+    import numpy as np
     from nnest_tpu.likelihoods import Gaussian
     from nnest_tpu.parallel import get_mesh
 
     mesh = get_mesh()  # all global devices on the dp axis
     like = Gaussian(2, 0.0, lim=3)
+
+    if a.sampler == 'ensemble':
+        # bootstrap with resume=True: the phase/PRNG/ncall resume decision
+        # must be broadcast from rank 0 so phases stay in lockstep
+        from nnest_tpu import EnsembleSampler
+        from nnest_tpu.priors import UniformPrior
+        e = EnsembleSampler(2, like, prior=UniformPrior(2, -3, 3),
+                            log_dir=a.log_dir, append_run_num=False,
+                            mesh=mesh, seed=a.seed)
+        ts = e.bootstrap(mcmc_steps=30, num_walkers=16,
+                         iters=a.bootstrap_iters, resume=True)
+        print('RESULT ' + json.dumps({
+            'pid': int(jax.process_index()),
+            'nproc': int(jax.process_count()),
+            'ndev': int(jax.device_count()),
+            'ts_shape': list(np.asarray(ts).shape),
+            'ts_sum': float(np.sum(ts)),
+            'ncall': int(e.total_calls),
+            'has_logs': e.logs is not None,
+        }), flush=True)
+        return
+
+    from nnest_tpu import NestedSampler
     s = NestedSampler(2, like, transform=lambda x: 3 * x,
                       num_live_points=100, log_dir=a.log_dir,
                       append_run_num=False, resume=True, mesh=mesh,

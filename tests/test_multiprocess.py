@@ -35,7 +35,7 @@ _COORD_ERRS = ('Address already in use', 'Connection refused',
 
 
 def _launch(nproc, log_dir, port=None, max_iters=1000000, timeout=600,
-            _retries=2):
+            _retries=2, extra_args=()):
     env = dict(os.environ)
     # one device per process (the pytest conftest's 8-virtual-device flag
     # must not leak into the workers)
@@ -49,7 +49,8 @@ def _launch(nproc, log_dir, port=None, max_iters=1000000, timeout=600,
         [sys.executable, _WORKER,
          '--coordinator', 'localhost:%d' % port,
          '--num_processes', str(nproc), '--process_id', str(i),
-         '--log_dir', log_dir, '--max_iters', str(max_iters)],
+         '--log_dir', log_dir, '--max_iters', str(max_iters),
+         *extra_args],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         text=True) for i in range(nproc)]
     outs = [p.communicate(timeout=timeout)[0] for p in procs]
@@ -63,7 +64,8 @@ def _launch(nproc, log_dir, port=None, max_iters=1000000, timeout=600,
                 # vous under full-suite load): retry on a fresh port
                 return _launch(nproc, log_dir, port=None,
                                max_iters=max_iters, timeout=timeout,
-                               _retries=_retries - 1)
+                               _retries=_retries - 1,
+                               extra_args=extra_args)
             # surface traceback lines, not whatever array dump preceded them
             lines = out.splitlines()
             keep = [j for j, l in enumerate(lines)
@@ -119,6 +121,33 @@ def test_two_process_checkpoint_resume(tmp_path):
     # resumed global ncall keeps growing from the (undivided) saved count
     assert r0['ncall'] > ncall_first
     assert r0['niter'] > 121
+
+
+def test_two_process_ensemble_bootstrap_resume(tmp_path):
+    """Ensemble bootstrap(resume=True) across processes: only rank 0 owns
+    the run dir, so the resume decision + restored phase/PRNG/ncall state
+    must be broadcast — otherwise rank 0 skips phases the others replay
+    and the key streams diverge (collective mismatch / silent per-rank
+    differences). First leg completes phase 0+1; second leg resumes and
+    runs phase 2 on every process in lockstep."""
+    log_dir = str(tmp_path / 'mpens')
+    first = _launch(2, log_dir,
+                    extra_args=('--sampler', 'ensemble',
+                                '--bootstrap_iters', '1'))
+    assert first[0]['ts_sum'] == first[1]['ts_sum']
+    assert sum(1 for r in first if r['has_logs']) == 1
+
+    second = _launch(2, log_dir,
+                     extra_args=('--sampler', 'ensemble',
+                                 '--bootstrap_iters', '2'))
+    r0 = [r for r in second if r['pid'] == 0][0]
+    r1 = [r for r in second if r['pid'] == 1][0]
+    # lockstep results after the broadcast-synchronized resume
+    assert r0['ts_sum'] == r1['ts_sum']
+    assert r0['ncall'] == r1['ncall']
+    assert r0['ts_shape'] == r1['ts_shape']
+    # the resumed leg continued from the saved likelihood counter
+    assert r0['ncall'] > first[0]['ncall']
 
 
 def test_four_process_lockstep(tmp_path):
