@@ -35,7 +35,8 @@ def analytic_gaussian_logz(dim, lim=3.0, sigma=1.0):
 
 
 def run_config(name, dim, seed, log_root, num_live_points, dlogz,
-               train_iters, retrain_nll_threshold):
+               train_iters, retrain_nll_threshold, mcmc_steps=0,
+               mcmc_num_chains=None):
     import numpy as np
     from nnest_tpu import NestedSampler
     from nnest_tpu.likelihoods import Gaussian, Rosenbrock
@@ -62,6 +63,10 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
         kw['retrain_nll_threshold'] = (
             None if retrain_nll_threshold in ('none', 'None')
             else float(retrain_nll_threshold))
+    if mcmc_steps:
+        kw['mcmc_steps'] = int(mcmc_steps)
+    if mcmc_num_chains:
+        kw['mcmc_num_chains'] = int(mcmc_num_chains)
     s.run(train_iters=train_iters, dlogz=dlogz, **kw)
     wall = time.time() - t0
     phases = {k: round(v['total_s'], 2)
@@ -91,6 +96,10 @@ def main():
     ap.add_argument('--train_iters', type=int, default=500)
     ap.add_argument('--retrain_nll_threshold', default='default',
                     help="'default', 'none', or a float")
+    ap.add_argument('--mcmc_steps', type=int, default=0,
+                    help='0 = sampler default (5*dim)')
+    ap.add_argument('--mcmc_num_chains', type=int, default=0,
+                    help='0 = sampler default')
     ap.add_argument('--log_root', default='/tmp/nnest_e2e')
     ap.add_argument('--cpu', action='store_true',
                     help='force the virtual-CPU platform (8 devices)')
@@ -114,7 +123,8 @@ def main():
             recs.append(run_config(
                 name, int(dim), seed, args.log_root,
                 args.num_live_points, args.dlogz, args.train_iters,
-                args.retrain_nll_threshold))
+                args.retrain_nll_threshold, mcmc_steps=args.mcmc_steps,
+                mcmc_num_chains=args.mcmc_num_chains))
         logzs = np.asarray([r['logz'] for r in recs])
         errs = np.asarray([r['logzerr'] for r in recs])
         truth = recs[0]['truth']

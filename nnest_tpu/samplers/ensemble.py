@@ -138,13 +138,15 @@ class EnsembleSampler(Sampler):
         rank-0 run-dir ownership), so their local load always returns None;
         without this sync a resumed rank 0 would skip phases the others
         replay, with divergent PRNG streams — collectives would mismatch.
-        Same pattern as ``NestedSampler._sync_checkpoint_state``."""
-        from jax.experimental import multihost_utils as mh
+        Same pattern as ``NestedSampler._sync_checkpoint_state``;
+        ``broadcast_exact`` keeps the float64 state (likelihood counter,
+        training samples) bit-exact through the collective."""
+        from nnest_tpu.parallel.mesh import broadcast_exact
         header = np.full(4, -1.0, np.float64)
         if loaded is not None:
             phase, ts = loaded
             header[:4] = [1.0, phase, ts.shape[0], self.total_calls]
-        header = np.asarray(mh.broadcast_one_to_all(header))
+        header = np.asarray(broadcast_exact(header))
         if header[0] < 0.5:
             return None
         n_rows = int(header[2])
@@ -152,7 +154,7 @@ class EnsembleSampler(Sampler):
             ts = np.asarray(loaded[1], np.float64)
         else:
             ts = np.zeros((n_rows, self.x_dim), np.float64)
-        ts, key_data = mh.broadcast_one_to_all(
+        ts, key_data = broadcast_exact(
             (ts, np.asarray(jax.random.key_data(self._key))))
         self._key = jax.random.wrap_key_data(np.asarray(key_data))
         self.total_calls = int(header[3])

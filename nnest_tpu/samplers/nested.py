@@ -622,7 +622,13 @@ class NestedSampler(Sampler):
         return self._load_checkpoint_local()
 
     def _sync_checkpoint_state(self, state):
+        # broadcast_exact: the stock broadcast_one_to_all device_puts
+        # float64 as float32 (x64 off), silently truncating live-point
+        # logl / evidence accumulators / ncall>2^24 on every rank —
+        # including rank 0, which would overwrite the exact state it just
+        # loaded from disk.
         from jax.experimental import multihost_utils as mh
+        from nnest_tpu.parallel.mesh import broadcast_exact
         M, MAXS = self._METHODS, self._MAX_STRATEGIES
         n_live, d, nd = self.num_live_points, self.x_dim, self.num_derived
         npar = self.num_params
@@ -638,7 +644,7 @@ class NestedSampler(Sampler):
                 header[8 + i] = M.index(name)
             for i, name in enumerate(expired[:MAXS]):
                 header[8 + MAXS + i] = M.index(name)
-        header = np.asarray(mh.broadcast_one_to_all(header))
+        header = np.asarray(broadcast_exact(header))
         if header[0] < 0.5:
             return None
         it = int(header[1])
@@ -663,7 +669,7 @@ class NestedSampler(Sampler):
          saved_logwt, key_data) = jax.tree.map(
             lambda a: np.array(a, dtype=np.float64, copy=True)
             if np.asarray(a).dtype != np.uint32
-            else np.asarray(a), mh.broadcast_one_to_all(payload))
+            else np.asarray(a), broadcast_exact(payload))
         self._key = jax.random.wrap_key_data(
             key_data.astype(np.asarray(
                 jax.random.key_data(self._key)).dtype))

@@ -429,7 +429,6 @@ class Trainer:
         self._opt_state = opt_state
         self.best_validation_epoch = bi + 1 if bi >= 0 else 0
         self.best_validation_loss = float(best_val)
-        best_epoch, best_val = self.best_validation_epoch, float(best_val)
 
         if self.path:
             self.save(os.path.join(self.path, 'models', 'netG.pkl'))
@@ -451,7 +450,9 @@ class Trainer:
         if self.log:
             self.logger.info(
                 'Best epoch [%i] validation loss [%5.4f] train time (s) '
-                '[%5.4f]' % (best_epoch, best_val, time.time() - start))
+                '[%5.4f]' % (self.best_validation_epoch,
+                             self.best_validation_loss,
+                             time.time() - start))
 
     # ------------------------------------------------------ transform bridge
 
