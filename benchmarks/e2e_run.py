@@ -36,15 +36,15 @@ def analytic_gaussian_logz(dim, lim=3.0, sigma=1.0):
 
 def run_config(name, dim, seed, log_root, num_live_points, dlogz,
                train_iters, retrain_nll_threshold, mcmc_steps=0,
-               mcmc_num_chains=None):
+               mcmc_num_chains=None, gauss_lim=3.0):
     import numpy as np
     from nnest_tpu import NestedSampler
     from nnest_tpu.likelihoods import Gaussian, Rosenbrock
 
     if name == 'gaussian':
-        like = Gaussian(dim, 0.0, lim=3)
-        transform = lambda x: 3 * x          # noqa: E731
-        truth = analytic_gaussian_logz(dim)
+        like = Gaussian(dim, 0.0, lim=gauss_lim)
+        transform = lambda x: gauss_lim * x  # noqa: E731
+        truth = analytic_gaussian_logz(dim, lim=gauss_lim)
     elif name == 'rosenbrock':
         like = Rosenbrock(dim)
         transform = lambda x: 5 * x          # noqa: E731
@@ -100,6 +100,8 @@ def main():
                     help='0 = sampler default (5*dim)')
     ap.add_argument('--mcmc_num_chains', type=int, default=0,
                     help='0 = sampler default')
+    ap.add_argument('--gauss_lim', type=float, default=3.0,
+                    help='half-width (in sigma) of the Gaussian box prior')
     ap.add_argument('--log_root', default='/tmp/nnest_e2e')
     ap.add_argument('--cpu', action='store_true',
                     help='force the virtual-CPU platform (8 devices)')
@@ -124,7 +126,8 @@ def main():
                 name, int(dim), seed, args.log_root,
                 args.num_live_points, args.dlogz, args.train_iters,
                 args.retrain_nll_threshold, mcmc_steps=args.mcmc_steps,
-                mcmc_num_chains=args.mcmc_num_chains))
+                mcmc_num_chains=args.mcmc_num_chains,
+                gauss_lim=args.gauss_lim))
         logzs = np.asarray([r['logz'] for r in recs])
         errs = np.asarray([r['logzerr'] for r in recs])
         truth = recs[0]['truth']
