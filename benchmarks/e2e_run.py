@@ -36,7 +36,8 @@ def analytic_gaussian_logz(dim, lim=3.0, sigma=1.0):
 
 def run_config(name, dim, seed, log_root, num_live_points, dlogz,
                train_iters, retrain_nll_threshold, mcmc_steps=0,
-               mcmc_num_chains=None, gauss_lim=3.0):
+               mcmc_num_chains=None, gauss_lim=3.0, hidden_dim=16,
+               num_blocks=3):
     import numpy as np
     from nnest_tpu import NestedSampler
     from nnest_tpu.likelihoods import Gaussian, Rosenbrock
@@ -56,6 +57,7 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
     shutil.rmtree(log_dir, ignore_errors=True)
     s = NestedSampler(dim, like, transform=transform,
                       num_live_points=num_live_points, flow='spline',
+                      hidden_dim=hidden_dim, num_blocks=num_blocks,
                       log_dir=log_dir, resume=False, seed=seed)
     t0 = time.time()
     kw = {}
@@ -102,6 +104,8 @@ def main():
                     help='0 = sampler default')
     ap.add_argument('--gauss_lim', type=float, default=3.0,
                     help='half-width (in sigma) of the Gaussian box prior')
+    ap.add_argument('--hidden_dim', type=int, default=16)
+    ap.add_argument('--num_blocks', type=int, default=3)
     ap.add_argument('--log_root', default='/tmp/nnest_e2e')
     ap.add_argument('--cpu', action='store_true',
                     help='force the virtual-CPU platform (8 devices)')
@@ -127,7 +131,8 @@ def main():
                 args.num_live_points, args.dlogz, args.train_iters,
                 args.retrain_nll_threshold, mcmc_steps=args.mcmc_steps,
                 mcmc_num_chains=args.mcmc_num_chains,
-                gauss_lim=args.gauss_lim))
+                gauss_lim=args.gauss_lim, hidden_dim=args.hidden_dim,
+                num_blocks=args.num_blocks))
         logzs = np.asarray([r['logz'] for r in recs])
         errs = np.asarray([r['logzerr'] for r in recs])
         truth = recs[0]['truth']

@@ -71,3 +71,23 @@ def test_sharded_mcmc_matches_unsharded():
     np.testing.assert_allclose(np.asarray(out_plain['samples']),
                                np.asarray(out_shard['samples']),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_broadcast_exact_preserves_float64():
+    """broadcast_one_to_all device_puts f64 as f32 with x64 off; the
+    bitcast wrapper must round-trip resume-state payloads exactly
+    (likelihood counters above 2^24, f64 logl) and pass other dtypes
+    through untouched."""
+    from nnest_tpu.parallel.mesh import broadcast_exact
+    tree = {
+        'big_int_as_f64': np.float64(2 ** 53 - 1) * np.ones(3),
+        'ncall': np.asarray([16_777_217.0], np.float64),  # 2^24 + 1
+        'logl': np.array([-89.72310918473, 1e-300, -1e300], np.float64),
+        'key': np.arange(4, dtype=np.uint32),
+        'f32': np.asarray([1.5, 2.5], np.float32),
+        'empty': np.zeros((0, 5), np.float64),
+    }
+    out = broadcast_exact(tree)
+    for k in tree:
+        assert out[k].dtype == tree[k].dtype, k
+        assert np.array_equal(out[k], tree[k]), k
