@@ -31,7 +31,11 @@ def _free_port():
 
 
 _COORD_ERRS = ('Address already in use', 'Connection refused',
-               'DEADLINE_EXCEEDED', 'UNAVAILABLE', 'failed to connect')
+               'DEADLINE_EXCEEDED', 'UNAVAILABLE', 'failed to connect',
+               # Gloo pair bring-up can time out at the run's first
+               # collective under full-suite load — same rendezvous flake
+               # class, retry on a fresh port
+               'Connect timeout', 'Gloo context initialization failed')
 
 
 def _launch(nproc, log_dir, port=None, max_iters=1000000, timeout=600,
