@@ -84,18 +84,19 @@ def shard_params(params, mesh):
 
 
 def broadcast_exact(tree):
-    """``multihost_utils.broadcast_one_to_all`` that preserves float64
-    exactly.
+    """``multihost_utils.broadcast_one_to_all`` that preserves 64-bit
+    leaves exactly.
 
     With ``jax_enable_x64`` off (the repo default), the stock broadcast
-    device_puts every float64 leaf as float32, silently truncating resume
-    state (live-point log-likelihoods, evidence accumulators, likelihood
-    counters above 2^24) on EVERY process — including rank 0, which
-    overwrites the exact values it just loaded from disk with the
-    round-tripped f32 copies. Here float64 leaves ride the collective
-    bitcast as int32 (exactly representable; int32 survives device_put
-    unchanged) and are bitcast back on arrival. Non-f64 leaves pass
-    through untouched.
+    device_puts every 64-bit leaf at 32 bits (float64→float32,
+    int64/uint64→int32), silently truncating resume state (live-point
+    log-likelihoods, evidence accumulators, likelihood counters above
+    2^24) on EVERY process — including rank 0, which overwrites the
+    exact values it just loaded from disk with the round-tripped 32-bit
+    copies. Here every 8-byte-itemsize leaf rides the collective bitcast
+    as int32 (exactly representable; int32 survives device_put
+    unchanged) and is bitcast back — dtype AND shape (including 0-d
+    scalars) — on arrival. Narrower leaves pass through untouched.
     """
     from jax.experimental import multihost_utils as mh
 
@@ -103,12 +104,13 @@ def broadcast_exact(tree):
     enc = []
     for leaf in leaves:
         a = np.asarray(leaf)
-        if a.dtype == np.float64:
-            enc.append(('f8', np.ascontiguousarray(a).view(np.int32)))
+        if a.dtype.itemsize == 8:
+            flat = np.ascontiguousarray(a).reshape(-1)  # 0-d safe view
+            enc.append(((a.dtype, a.shape), flat.view(np.int32)))
         else:
             enc.append((None, a))
     out = mh.broadcast_one_to_all(tuple(a for _, a in enc))
-    dec = [np.ascontiguousarray(o).view(np.float64)
-           if tag == 'f8' else np.asarray(o)
+    dec = [np.ascontiguousarray(o).view(tag[0]).reshape(tag[1])
+           if tag is not None else np.asarray(o)
            for (tag, _), o in zip(enc, out)]
     return jax.tree_util.tree_unflatten(treedef, dec)

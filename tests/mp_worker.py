@@ -34,6 +34,22 @@ def main():
     import numpy as np
     from nnest_tpu.likelihoods import Gaussian
     from nnest_tpu.parallel import get_mesh
+    from nnest_tpu.parallel.mesh import broadcast_exact
+
+    # Regression probe for the exact-64-bit broadcast on the REAL
+    # multi-process device path (single-process broadcast_one_to_all
+    # short-circuits, so unit tests cannot catch a truncation
+    # regression): values beyond f32/i32 range must survive.
+    rank0 = jax.process_index() == 0
+    probe = broadcast_exact({
+        'f64': (np.asarray([16_777_217.0, -89.72310918473], np.float64)
+                if rank0 else np.zeros(2, np.float64)),
+        'i64': (np.asarray([2 ** 62 + 3], np.int64)
+                if rank0 else np.zeros(1, np.int64)),
+    })
+    assert probe['f64'][0] == 16_777_217.0, probe
+    assert probe['f64'][1] == -89.72310918473, probe
+    assert probe['i64'][0] == 2 ** 62 + 3, probe
 
     mesh = get_mesh()  # all global devices on the dp axis
     like = Gaussian(2, 0.0, lim=3)

@@ -77,10 +77,17 @@ def _launch(nproc, log_dir, port=None, max_iters=1000000, timeout=600,
             ctx = []
             for j in keep:
                 ctx.extend(lines[j:j + 12])
+            # A Gloo/rendezvous timeout on THIS process is often collateral
+            # of another worker dying first — include every worker's tail
+            # so the real traceback survives in the failure message.
+            others = '\n'.join(
+                '--- worker %d tail ---\n%s' % (k, '\n'.join(
+                    o.splitlines()[-8:]))
+                for k, o in enumerate(outs) if k != i)
             raise AssertionError(
-                'process %d failed (rc %d):\n%s\n--- tail ---\n%s'
+                'process %d failed (rc %d):\n%s\n--- tail ---\n%s\n%s'
                 % (i, p.returncode, '\n'.join(ctx[:80]),
-                   '\n'.join(lines[-15:])))
+                   '\n'.join(lines[-15:]), others))
         line = [l for l in out.splitlines() if l.startswith('RESULT ')]
         assert line, 'process %d printed no RESULT:\n%s' % (i, out[-2000:])
         results.append(json.loads(line[-1][len('RESULT '):]))

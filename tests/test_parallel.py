@@ -86,8 +86,12 @@ def test_broadcast_exact_preserves_float64():
         'key': np.arange(4, dtype=np.uint32),
         'f32': np.asarray([1.5, 2.5], np.float32),
         'empty': np.zeros((0, 5), np.float64),
+        'i64': np.asarray([2 ** 62 + 3, -7], np.int64),
+        'u64': np.asarray([2 ** 63 + 11], np.uint64),
+        'scalar_f64': np.float64(16_777_217.0),           # 0-d leaf
     }
     out = broadcast_exact(tree)
     for k in tree:
-        assert out[k].dtype == tree[k].dtype, k
+        assert out[k].dtype == np.asarray(tree[k]).dtype, k
+        assert out[k].shape == np.asarray(tree[k]).shape, k
         assert np.array_equal(out[k], tree[k]), k
