@@ -515,6 +515,60 @@ class Sampler:
                 float(out['mean_jump']),
                 int(out['ncall']) + ncall_init)
 
+    def _mcmc_sample_live(self,
+                          mcmc_steps,
+                          active_u,
+                          active_logl,
+                          active_derived,
+                          num_chains,
+                          loglstar,
+                          step_size,
+                          dynamic_step_size=False,
+                          prior_volume_steps=1):
+        """Fused single-dispatch variant of ``_mcmc_sample_final`` for the
+        nested sampler's pool generations: chain-start selection from the
+        live set + numerical re-projection + the chain scan are one device
+        program (``LatentKernels.mcmc_from_live``). Bit-identical chain
+        trajectories to the unfused path (same key roles, exact one-hot
+        selection); used on the single-device path — mesh runs keep the
+        explicitly sharded ``_mcmc_sample_final`` route.
+
+        Returns (u, logl, derived, moved, scale, mean_jump, ncall)."""
+        key_idx, key_chain = self._next_key(), self._next_key()
+        if step_size <= 0.0:
+            step_size = 2.0 / self.x_dim ** 0.5
+        self.trainer.ensure_init()
+        with self.timers.time('mcmc_kernel'):
+            out = self.kernels.mcmc_from_live(
+                self.trainer.params, key_idx, key_chain,
+                np.asarray(active_u, np.float32),
+                np.asarray(active_logl, np.float32),
+                np.asarray(active_derived, np.float32),
+                num_chains=num_chains, loglstar=loglstar,
+                step_size=step_size, mcmc_steps=mcmc_steps,
+                dynamic_step_size=dynamic_step_size,
+                prior_volume_steps=prior_volume_steps)
+            out = self._fetch_all(out)
+
+        self.total_calls += int(out['ncall'])
+        self.total_fast_calls += int(out['fast_calls'])
+        self.total_accepted += int(out['accepted'])
+        self.total_rejected += int(out['rejected'])
+        self._last_diag_chains = np.asarray(out['diag_chains'],
+                                            dtype=np.float64)
+        self._last_kernel_stats = {
+            'ess': np.asarray(out['ess'], dtype=np.float64),
+            'acceptance': float(out['acceptance']),
+            'mean_jump': float(out['mean_jump']),
+        }
+        return (np.asarray(out['final_x'], dtype=np.float64),
+                np.asarray(out['final_logl'], dtype=np.float64),
+                np.asarray(out['final_derived'], dtype=np.float64),
+                np.asarray(out['moved']),
+                float(out['scale']),
+                float(out['mean_jump']),
+                int(out['ncall']))
+
     def _mcmc_sample(self,
                      mcmc_steps,
                      step_size=0.0,

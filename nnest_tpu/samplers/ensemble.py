@@ -42,13 +42,14 @@ def real_space_stretch(log_prob_fn, key, x0, mcmc_steps, a=2.0):
         u = jax.random.uniform(kz, (n,))
         zeta = ((a - 1.0) * u + 1.0) ** 2 / a
         # gather-free partner selection (row gathers are scalar loops on
-        # TPU; see samplers/kernels.py)
+        # TPU); elementwise masked sum — a one-hot MATMUL would
+        # bf16-truncate the partners on the MXU (see samplers/kernels.py)
         idx = jax.random.randint(kc, (n,), 0, xs_other.shape[0])
         kiota = jax.lax.broadcasted_iota(jnp.int32,
                                          (n, xs_other.shape[0]), 1)
         onehot = (kiota == idx[:, None]).astype(xs_other.dtype)
-        partner = jnp.dot(onehot, xs_other,
-                          preferred_element_type=jnp.float32)
+        partner = jnp.sum(onehot[:, :, None] * xs_other[None, :, :],
+                          axis=1)
         prop = partner + zeta[:, None] * (xs_move - partner)
         lp_prop = log_prob_fn(prop)
         log_ratio = (dim - 1.0) * jnp.log(zeta) + lp_prop - lp_move

@@ -124,6 +124,11 @@ class LatentKernels:
         self._mcmc = jax.jit(self._mcmc_impl, static_argnames=(
             'mcmc_steps', 'constrained', 'dynamic_step_size',
             'prior_volume_steps', 'collect_chains', 'own_moments'))
+        self._mcmc_live = jax.jit(self._mcmc_from_live_impl,
+                                  static_argnames=(
+                                      'num_chains', 'mcmc_steps',
+                                      'dynamic_step_size',
+                                      'prior_volume_steps'))
         self._fusable = None  # resolved lazily (import cycle + cheap check)
         self._rejection_prior = None  # built lazily (needs a prior sampler)
         self._rejection_flow = jax.jit(self._rejection_flow_impl,
@@ -373,6 +378,63 @@ class LatentKernels:
             'rejected': mcmc_steps * z0.shape[0] - total_acc,
         })
 
+    def mcmc_from_live(self, params, key_idx, key_chain, active_u,
+                       active_logl, active_derived, *, num_chains,
+                       loglstar, step_size, mcmc_steps,
+                       dynamic_step_size=False, prior_volume_steps=1):
+        """Constrained endpoint-only Metropolis launched FROM the live set
+        in one dispatch: chain-start index draw, gather-free live-point
+        selection, forward/inverse numerical re-projection
+        (reference ``sampler.py:262-289``) and the chain scan are a single
+        device program. Replaces the host-side randint → index → project →
+        kernel sequence (3 dispatches + 2 pulls per pool generation over
+        the remote-TPU link). Consumes the same two keys in the same roles
+        as the unfused path, and one-hot selection of f32 rows is exact,
+        so the chain trajectories are bit-identical to the unfused path —
+        the mesh-sharded route still uses that path, and mesh vs no-mesh
+        evidence equality holds.
+        """
+        return self._mcmc_live(
+            params, key_idx, key_chain,
+            np.asarray(active_u, np.float32),
+            np.asarray(active_logl, np.float32),
+            np.asarray(active_derived, np.float32),
+            np.float32(loglstar), np.float32(step_size),
+            num_chains=num_chains, mcmc_steps=mcmc_steps,
+            dynamic_step_size=dynamic_step_size,
+            prior_volume_steps=prior_volume_steps)
+
+    def _mcmc_from_live_impl(self, params, key_idx, key_chain, active_u,
+                             active_logl, active_derived, loglstar,
+                             step_size, *, num_chains, mcmc_steps,
+                             dynamic_step_size, prior_volume_steps):
+        n_live = active_u.shape[0]
+        idx = jax.random.randint(key_idx, (num_chains,), 0, n_live)
+        # Gather-free row selection (TPU rule: no dynamic row gathers).
+        # Elementwise one-hot mask + sum, NOT a matmul: TPU matmuls
+        # truncate f32 inputs to bf16 on the MXU by default, which would
+        # round the selected live points / loglikes; masked-sum on the
+        # VPU picks rows bit-exactly (999 exact zeros + the row).
+        iota = jax.lax.broadcasted_iota(jnp.int32, (num_chains, n_live), 1)
+        onehot = (iota == idx[:, None]).astype(jnp.float32)
+        x0 = jnp.sum(onehot[:, :, None] * active_u[None, :, :], axis=1)
+        logl0 = jnp.sum(onehot * active_logl[None, :], axis=1)
+        derived0 = jnp.sum(onehot[:, :, None] * active_derived[None, :, :],
+                           axis=1)
+        z0, _ = self.model.forward(params, x0)
+        x0p, _ = self.model.inverse(params, z0)
+        lp_prior0 = self.prior_fn(x0p)
+        # live-point moments normalize the diagnostic ESS only
+        # (reference sampler.py:481-483); they never touch the chains
+        mu = jnp.mean(active_u, axis=0)
+        var = jnp.var(active_u, axis=0)
+        return self._mcmc_impl(
+            params, key_chain, z0, logl0, derived0, lp_prior0, loglstar,
+            step_size, mu, var, mcmc_steps=mcmc_steps, constrained=True,
+            dynamic_step_size=dynamic_step_size,
+            prior_volume_steps=prior_volume_steps, collect_chains=False,
+            own_moments=False)
+
     # ----------------------------------------------------- rejection/prior
 
     def rejection_prior(self, prior, key, loglstar, num_trials):
@@ -516,14 +578,16 @@ class LatentKernels:
                                                     inverse=inverse)
 
         def pick_rows(k, zs_other, n):
-            """Gather-free random row selection via one-hot matmul (row
-            gathers execute as scalar loops on TPU)."""
+            """Gather-free random row selection via elementwise one-hot
+            masked sum (row gathers execute as scalar loops on TPU; a
+            one-hot MATMUL would bf16-truncate the selected walkers on
+            the MXU — masked-sum on the VPU is bit-exact)."""
             idx = jax.random.randint(k, (n,), 0, zs_other.shape[0])
             kiota = jax.lax.broadcasted_iota(
                 jnp.int32, (n, zs_other.shape[0]), 1)
             onehot = (kiota == idx[:, None]).astype(zs_other.dtype)
-            return jnp.dot(onehot, zs_other,
-                           preferred_element_type=jnp.float32)
+            return jnp.sum(onehot[:, :, None] * zs_other[None, :, :],
+                           axis=1)
 
         def propose_stretch(k, zs_move, zs_other):
             kz, kc = jax.random.split(k)
@@ -569,9 +633,13 @@ class LatentKernels:
             m = zs_other.shape[0]
             ph = pts / h
             oh = zs_other / h
+            # HIGHEST: the MH correction must evaluate the same density
+            # the proposal was drawn from; default bf16 matmul inputs
+            # would perturb the pairwise distances
             d2 = (jnp.sum(ph ** 2, 1)[:, None]
                   + jnp.sum(oh ** 2, 1)[None, :]
                   - 2.0 * jnp.dot(ph, oh.T,
+                                  precision=jax.lax.Precision.HIGHEST,
                                   preferred_element_type=jnp.float32))
             log_kern = -0.5 * jnp.maximum(d2, 0.0)
             return (jax.scipy.special.logsumexp(log_kern, axis=1)

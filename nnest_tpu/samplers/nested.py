@@ -362,23 +362,38 @@ class NestedSampler(Sampler):
 
             elif current_method == 'mcmc':
                 if need_pool:
-                    idx = np.asarray(_randint(
-                        self._next_key(), mcmc_num_chains,
-                        self.num_live_points))
-                    init_samples = active_u[idx, :]
-                    init_loglikes = active_logl[idx]
-                    init_derived = (active_derived[idx, :]
-                                    if self.num_derived > 0 else
-                                    np.empty((mcmc_num_chains, 0)))
-                    (u_f, logl_f, derived_f, moved, mcmc_scale,
-                     mean_jump, nc) = self._mcmc_sample_final(
-                        mcmc_steps, init_samples=init_samples,
-                        init_loglikes=init_loglikes,
-                        init_derived=init_derived, loglstar=loglstar,
-                        step_size=step_size,
-                        dynamic_step_size=mcmc_dynamic_step_size,
-                        stat_moments=(np.mean(active_u, axis=0),
-                                      np.var(active_u, axis=0)))
+                    if self.mesh is None:
+                        # Fused single-dispatch path: index draw + live-
+                        # point selection + projection + chain scan in one
+                        # device program (bit-identical trajectories to
+                        # the unfused route below — same key roles, exact
+                        # one-hot selection).
+                        (u_f, logl_f, derived_f, moved, mcmc_scale,
+                         mean_jump, nc) = self._mcmc_sample_live(
+                            mcmc_steps, active_u, active_logl,
+                            active_derived if self.num_derived > 0 else
+                            np.empty((self.num_live_points, 0)),
+                            mcmc_num_chains, loglstar, step_size,
+                            dynamic_step_size=mcmc_dynamic_step_size)
+                    else:
+                        # mesh route: explicit dp-sharded chain batches
+                        idx = np.asarray(_randint(
+                            self._next_key(), mcmc_num_chains,
+                            self.num_live_points))
+                        init_samples = active_u[idx, :]
+                        init_loglikes = active_logl[idx]
+                        init_derived = (active_derived[idx, :]
+                                        if self.num_derived > 0 else
+                                        np.empty((mcmc_num_chains, 0)))
+                        (u_f, logl_f, derived_f, moved, mcmc_scale,
+                         mean_jump, nc) = self._mcmc_sample_final(
+                            mcmc_steps, init_samples=init_samples,
+                            init_loglikes=init_loglikes,
+                            init_derived=init_derived, loglstar=loglstar,
+                            step_size=step_size,
+                            dynamic_step_size=mcmc_dynamic_step_size,
+                            stat_moments=(np.mean(active_u, axis=0),
+                                          np.var(active_u, axis=0)))
                     # Chain endpoints are the candidates (nested.py:429-439:
                     # accept iff the chain moved and logl > loglstar).
                     pool = {'u': u_f[moved], 'logl': logl_f[moved],
