@@ -135,6 +135,52 @@ def test_endpoint_mode_full_chain_stats(gauss_setup):
     assert float(endp['mean_jump']) > 0.0
 
 
+def test_mcmc_from_live_matches_unfused(gauss_setup):
+    """The fused single-dispatch pool generation (``mcmc_from_live``) is
+    bit-identical to the unfused host sequence it replaces: jitted index
+    draw -> host row select -> forward/inverse re-projection -> constrained
+    endpoint-only chain scan (the mesh route, nested.py:378-396). Same two
+    keys in the same roles; selection is an exact one-hot masked sum."""
+    model, params, kern, like_fn = gauss_setup
+    n_live, num_chains, steps = 64, 16, 40
+    rng = np.random.RandomState(42)
+    active_u = np.asarray(0.4 * rng.normal(size=(n_live, 2)), np.float32)
+    logl, _ = like_fn(jnp.asarray(active_u))
+    active_logl = np.asarray(logl, np.float32)
+    active_derived = np.zeros((n_live, 0), np.float32)
+    loglstar = float(np.quantile(active_logl, 0.1))
+    key_idx, key_chain = jax.random.PRNGKey(21), jax.random.PRNGKey(22)
+
+    fused = kern.mcmc_from_live(
+        params, key_idx, key_chain, active_u, active_logl, active_derived,
+        num_chains=num_chains, loglstar=loglstar, step_size=0.7,
+        mcmc_steps=steps)
+
+    # Unfused oracle: replicate the mesh route's host-side composition.
+    idx = np.asarray(jax.jit(
+        lambda k: jax.random.randint(k, (num_chains,), 0, n_live))(key_idx))
+    x0 = jnp.asarray(active_u[idx])
+    logl0 = jnp.asarray(active_logl[idx])
+    derived0 = jnp.asarray(active_derived[idx])
+    z0, _ = model.forward(params, x0)
+    x0p, _ = model.inverse(params, z0)
+    lp0 = kern.prior_fn(x0p)
+    unfused = kern.mcmc(
+        params, key_chain, z0, logl0, derived0, lp0,
+        loglstar=loglstar, step_size=0.7, mcmc_steps=steps,
+        collect_chains=False,
+        stat_moments=(np.mean(active_u, axis=0),
+                      np.var(active_u, axis=0)))
+
+    for field in ('final_x', 'final_logl', 'moved'):
+        np.testing.assert_array_equal(np.asarray(fused[field]),
+                                      np.asarray(unfused[field]),
+                                      err_msg=field)
+    assert int(fused['ncall']) == int(unfused['ncall'])
+    assert int(fused['accepted']) == int(unfused['accepted'])
+    assert float(fused['mean_jump']) == float(unfused['mean_jump'])
+
+
 def test_fast_slow_proposals_freeze_slow_dims():
     """With oversample_rate=1 every proposal is fast-only: slow coords of
     the latent chain never change (reference sampler.py:311-315)."""
