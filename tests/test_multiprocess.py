@@ -39,7 +39,7 @@ _COORD_ERRS = ('Address already in use', 'Connection refused',
 
 
 def _launch(nproc, log_dir, port=None, max_iters=1000000, timeout=600,
-            _retries=2, extra_args=()):
+            _retries=3, extra_args=()):
     env = dict(os.environ)
     # one device per process (the pytest conftest's 8-virtual-device flag
     # must not leak into the workers)
