@@ -494,12 +494,17 @@ class Sampler:
             jax.block_until_ready(out['final_x'])
 
         out = self._fetch_all(out)
+        return self._consume_endpoint_out(out, ncall_extra=ncall_init)
 
+    def _consume_endpoint_out(self, out, ncall_extra=0):
+        """Shared bookkeeping for endpoint-only kernel outputs (counter
+        accumulation, diagnostic capture, float64 packing) — used by both
+        the explicitly sharded `_mcmc_sample_final` route and the fused
+        `_mcmc_sample_live` route so the two report identical stats."""
         self.total_calls += int(out['ncall'])
         self.total_fast_calls += int(out['fast_calls'])
         self.total_accepted += int(out['accepted'])
         self.total_rejected += int(out['rejected'])
-
         self._last_diag_chains = np.asarray(out['diag_chains'],
                                             dtype=np.float64)
         self._last_kernel_stats = {
@@ -513,7 +518,7 @@ class Sampler:
                 np.asarray(out['moved']),
                 float(out['scale']),
                 float(out['mean_jump']),
-                int(out['ncall']) + ncall_init)
+                int(out['ncall']) + ncall_extra)
 
     def _mcmc_sample_live(self,
                           mcmc_steps,
@@ -541,33 +546,13 @@ class Sampler:
         with self.timers.time('mcmc_kernel'):
             out = self.kernels.mcmc_from_live(
                 self.trainer.params, key_idx, key_chain,
-                np.asarray(active_u, np.float32),
-                np.asarray(active_logl, np.float32),
-                np.asarray(active_derived, np.float32),
+                active_u, active_logl, active_derived,
                 num_chains=num_chains, loglstar=loglstar,
                 step_size=step_size, mcmc_steps=mcmc_steps,
                 dynamic_step_size=dynamic_step_size,
                 prior_volume_steps=prior_volume_steps)
             out = self._fetch_all(out)
-
-        self.total_calls += int(out['ncall'])
-        self.total_fast_calls += int(out['fast_calls'])
-        self.total_accepted += int(out['accepted'])
-        self.total_rejected += int(out['rejected'])
-        self._last_diag_chains = np.asarray(out['diag_chains'],
-                                            dtype=np.float64)
-        self._last_kernel_stats = {
-            'ess': np.asarray(out['ess'], dtype=np.float64),
-            'acceptance': float(out['acceptance']),
-            'mean_jump': float(out['mean_jump']),
-        }
-        return (np.asarray(out['final_x'], dtype=np.float64),
-                np.asarray(out['final_logl'], dtype=np.float64),
-                np.asarray(out['final_derived'], dtype=np.float64),
-                np.asarray(out['moved']),
-                float(out['scale']),
-                float(out['mean_jump']),
-                int(out['ncall']))
+        return self._consume_endpoint_out(out)
 
     def _mcmc_sample(self,
                      mcmc_steps,

@@ -175,14 +175,22 @@ class EnsembleSampler(Sampler):
         if best is None:
             return None
         try:
+            # Load every field into locals BEFORE mutating self: npz member
+            # reads are lazy, so a truncated archive can raise on the 2nd
+            # or 3rd access — a half-restored PRNG key on rank 0 with the
+            # seed key on other ranks would silently desync the lockstep
+            # multi-process bootstrap.
             data = np.load(best[1])
-            self._key = jax.random.wrap_key_data(data['key_data'])
-            self.total_calls = int(data['total_calls'])
-            return best[0], np.asarray(data['training_samples'])
+            key_data = np.asarray(data['key_data'])
+            total_calls = int(data['total_calls'])
+            training_samples = np.asarray(data['training_samples'])
         except Exception as e:
             self.logger.warning('Bootstrap checkpoint %s unusable (%s)'
                                 % (best[1], e))
             return None
+        self._key = jax.random.wrap_key_data(key_data)
+        self.total_calls = total_calls
+        return best[0], training_samples
 
     def bootstrap(self,
                   mcmc_steps,

@@ -411,15 +411,24 @@ class LatentKernels:
         n_live = active_u.shape[0]
         idx = jax.random.randint(key_idx, (num_chains,), 0, n_live)
         # Gather-free row selection (TPU rule: no dynamic row gathers).
-        # Elementwise one-hot mask + sum, NOT a matmul: TPU matmuls
+        # Elementwise masked where + sum, NOT a matmul: TPU matmuls
         # truncate f32 inputs to bf16 on the MXU by default, which would
         # round the selected live points / loglikes; masked-sum on the
-        # VPU picks rows bit-exactly (999 exact zeros + the row).
+        # VPU picks rows bit-exactly (999 exact zeros + the row). The
+        # where (rather than onehot-multiply) keeps non-selected rows out
+        # of the arithmetic entirely: live loglikes can be -inf in f32
+        # (host clamps failed likelihoods to -1e100, which overflows
+        # float32), and 0*inf = NaN would poison EVERY chain's start
+        # state instead of only the chain that picked that row as in the
+        # unfused host-indexing route (sanitize at _mcmc_impl entry then
+        # maps the picked -inf to LOG_NEG identically on both routes).
         iota = jax.lax.broadcasted_iota(jnp.int32, (num_chains, n_live), 1)
-        onehot = (iota == idx[:, None]).astype(jnp.float32)
-        x0 = jnp.sum(onehot[:, :, None] * active_u[None, :, :], axis=1)
-        logl0 = jnp.sum(onehot * active_logl[None, :], axis=1)
-        derived0 = jnp.sum(onehot[:, :, None] * active_derived[None, :, :],
+        mask = iota == idx[:, None]
+        x0 = jnp.sum(jnp.where(mask[:, :, None], active_u[None, :, :], 0.0),
+                     axis=1)
+        logl0 = jnp.sum(jnp.where(mask, active_logl[None, :], 0.0), axis=1)
+        derived0 = jnp.sum(jnp.where(mask[:, :, None],
+                                     active_derived[None, :, :], 0.0),
                            axis=1)
         z0, _ = self.model.forward(params, x0)
         x0p, _ = self.model.inverse(params, z0)

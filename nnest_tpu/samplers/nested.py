@@ -272,8 +272,13 @@ class NestedSampler(Sampler):
                 # deterministic (no PRNG), so multi-process runs stay in
                 # lockstep. Disable with retrain_nll_threshold=None.
                 retrain = True
+                # The < 1e29 guard excludes the trainer's 1e30 "no epoch
+                # ever improved" sentinel: after a diverged training (all
+                # val losses NaN) every finite live-set NLL would beat
+                # 1e30 + threshold and the flow would never retrain again.
                 if (not first_time and retrain_nll_threshold is not None
-                        and self.trainer.best_validation_loss is not None):
+                        and self.trainer.best_validation_loss is not None
+                        and self.trainer.best_validation_loss < 1e29):
                     with self.timers.time('retrain_check'):
                         nll_now = -float(np.mean(self.trainer.log_probs(
                             active_u.astype(np.float32), to_numpy=True)))

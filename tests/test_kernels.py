@@ -181,6 +181,50 @@ def test_mcmc_from_live_matches_unfused(gauss_setup):
     assert float(fused['mean_jump']) == float(unfused['mean_jump'])
 
 
+def test_mcmc_from_live_nonfinite_live_logl(gauss_setup):
+    """A live point whose f32 log-likelihood is -inf (the host clamps
+    failed likelihoods to -1e100, which overflows float32) must poison
+    ONLY the chains that select it — masked selection uses where, not an
+    onehot multiply, because 0*inf = NaN would contaminate every chain's
+    start state. Fused output must still match the unfused oracle route,
+    which sanitizes the indexed -inf at kernel entry."""
+    model, params, kern, like_fn = gauss_setup
+    n_live, num_chains, steps = 8, 16, 10
+    rng = np.random.RandomState(7)
+    active_u = np.asarray(0.4 * rng.normal(size=(n_live, 2)), np.float32)
+    logl, _ = like_fn(jnp.asarray(active_u))
+    active_logl = np.asarray(logl, np.float64)
+    active_logl[3] = -1e100  # exactly what safe_loglike writes
+    with np.errstate(over='ignore'):  # the f32 overflow IS the test input
+        active_logl = np.asarray(active_logl, np.float32)
+    assert np.isinf(active_logl[3])
+    active_derived = np.zeros((n_live, 0), np.float32)
+    loglstar = float(np.sort(active_logl)[1])
+    key_idx, key_chain = jax.random.PRNGKey(31), jax.random.PRNGKey(32)
+
+    fused = kern.mcmc_from_live(
+        params, key_idx, key_chain, active_u, active_logl, active_derived,
+        num_chains=num_chains, loglstar=loglstar, step_size=0.7,
+        mcmc_steps=steps)
+    assert np.all(np.isfinite(np.asarray(fused['final_logl'])))
+
+    idx = np.asarray(jax.jit(
+        lambda k: jax.random.randint(k, (num_chains,), 0, n_live))(key_idx))
+    assert 3 in idx and (idx != 3).any()  # both cases exercised
+    z0, _ = model.forward(params, jnp.asarray(active_u[idx]))
+    x0p, _ = model.inverse(params, z0)
+    unfused = kern.mcmc(
+        params, key_chain, z0, jnp.asarray(active_logl[idx]),
+        jnp.asarray(active_derived[idx]), kern.prior_fn(x0p),
+        loglstar=loglstar, step_size=0.7, mcmc_steps=steps,
+        collect_chains=False,
+        stat_moments=(np.mean(active_u, axis=0), np.var(active_u, axis=0)))
+    for field in ('final_x', 'final_logl', 'moved'):
+        np.testing.assert_array_equal(np.asarray(fused[field]),
+                                      np.asarray(unfused[field]),
+                                      err_msg=field)
+
+
 def test_fast_slow_proposals_freeze_slow_dims():
     """With oversample_rate=1 every proposal is fast-only: slow coords of
     the latent chain never change (reference sampler.py:311-315)."""

@@ -79,3 +79,25 @@ def test_ensemble_bootstrap_resume(tmp_path, gauss_problem):
     assert s2.total_calls == calls_after_first + 200 * 32
     assert out.shape[1] == 2
     assert abs(np.mean(out)) < 0.35
+
+
+def test_ensemble_corrupt_bootstrap_checkpoint(tmp_path, gauss_problem):
+    """A bootstrap checkpoint that loads partially (npz member reads are
+    lazy — a truncated archive can raise on the 2nd/3rd access) must leave
+    the sampler state COMPLETELY untouched: a half-restored PRNG key on one
+    rank would silently desync multi-process lockstep."""
+    import os
+    import jax
+    like, prior, training = gauss_problem
+    s = EnsembleSampler(2, like, prior=prior, append_run_num=False,
+                        log_dir=str(tmp_path / 'bootcorrupt'), seed=3)
+    ck = os.path.join(s.logs['checkpoint'], 'bootstrap_1.npz')
+    # key_data present, training_samples/total_calls missing
+    np.savez(ck, key_data=np.asarray(jax.random.key_data(
+        jax.random.PRNGKey(999))))
+    key_before = np.asarray(jax.random.key_data(s._key)).copy()
+    calls_before = s.total_calls
+    assert s._bootstrap_load_latest(5) is None
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(s._key)), key_before)
+    assert s.total_calls == calls_before
