@@ -40,7 +40,8 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
                num_blocks=3):
     import numpy as np
     from nnest_tpu import NestedSampler
-    from nnest_tpu.likelihoods import Gaussian, Rosenbrock
+    from nnest_tpu.likelihoods import (
+        Eggbox, Gaussian, GaussianMix, Himmelblau, Rosenbrock)
 
     if name == 'gaussian':
         like = Gaussian(dim, 0.0, lim=gauss_lim)
@@ -48,6 +49,18 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
         truth = analytic_gaussian_logz(dim, lim=gauss_lim)
     elif name == 'rosenbrock':
         like = Rosenbrock(dim)
+        transform = lambda x: 5 * x          # noqa: E731
+        truth = None
+    elif name == 'eggbox':
+        like = Eggbox(dim)
+        transform = lambda x: 5 * math.pi * x  # noqa: E731
+        truth = 235.8952   # scipy dblquad over [-5pi,5pi]^2 (BENCHMARKS.md)
+    elif name == 'mog4':
+        like = GaussianMix(dim)
+        transform = lambda x: 10 * x         # noqa: E731
+        truth = -5.9915    # erf masses over [-10,10]^2 (BENCHMARKS.md)
+    elif name == 'himmelblau':
+        like = Himmelblau(dim)
         transform = lambda x: 5 * x          # noqa: E731
         truth = None
     else:
