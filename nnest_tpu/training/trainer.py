@@ -45,6 +45,34 @@ from nnest_tpu.utils.rng import split_key as _split_key
 _perm = jax.jit(lambda k, n: jax.random.permutation(k, n),
                 static_argnums=1)
 
+# Process-wide cache of jitted flow/training programs. Every jitted program
+# here is a pure function of the flow CONFIG (architecture kwargs), the
+# optimizer hyperparameters and the data shapes — never of a particular
+# Trainer instance — so fresh Trainer instances with an identical config
+# (seed-sweep runners, the analyse protocol, the test suite, one sampler
+# per process restarts) reuse the already-traced callables instead of
+# paying a re-trace plus a compile-cache load per instance (measured
+# 7–10 s per seed for the 2-D training program over the remote-TPU link vs
+# ~1 s for the warm call; the reference re-builds its torch modules per
+# instance too, but its per-batch host loop has no trace cost to amortize).
+_SHARED_JIT_CACHE = {}
+
+
+def _shared_jit(config_key, name, build):
+    """Return (and memoize) a jitted callable for ``(config_key, name)``.
+
+    ``config_key=None`` disables sharing (unhashable config, e.g. a
+    user-supplied base-distribution object) and falls back to a fresh
+    per-instance callable."""
+    if config_key is None:
+        return build()
+    key = (config_key, name)
+    fn = _SHARED_JIT_CACHE.get(key)
+    if fn is None:
+        fn = build()
+        _SHARED_JIT_CACHE[key] = fn
+    return fn
+
 
 def trainable_mask(params):
     """Pytree bool mask: False for frozen buffer leaves (dict keys starting
@@ -130,6 +158,17 @@ class Trainer:
             num_blocks=num_blocks, num_layers=num_layers, scale=scale,
             base_dist=base_dist, num_bins=num_bins, tail_bound=tail_bound)
 
+        # The model is a frozen dataclass with pure methods, deterministic in
+        # the architecture kwargs, so with the default base_dist the jitted
+        # programs below are interchangeable between same-config instances.
+        if base_dist is None:
+            self._config_key = (x_dim, flow, hidden_dim, num_slow,
+                                num_blocks, num_layers, scale, num_bins,
+                                float(tail_bound), float(learning_rate),
+                                float(weight_decay))
+        else:
+            self._config_key = None
+
         self._key = jax.random.PRNGKey(seed)
         self.params = None  # data-dependent init at first train()/use
 
@@ -159,11 +198,18 @@ class Trainer:
         if self.path is not None:
             self.writer = _make_writer(self.path)
 
-        # jit caches (per input shape, handled by jax)
-        self._forward = jax.jit(self.model.forward)
-        self._inverse = jax.jit(self.model.inverse)
-        self._log_prob = jax.jit(self.model.log_prob)
-        self._sample = jax.jit(self.model.sample, static_argnames=('num',))
+        # jit caches (per input shape, handled by jax); shared across
+        # same-config instances so seed sweeps don't re-trace per seed
+        ck = self._config_key
+        self._forward = _shared_jit(
+            ck, 'forward', lambda: jax.jit(self.model.forward))
+        self._inverse = _shared_jit(
+            ck, 'inverse', lambda: jax.jit(self.model.inverse))
+        self._log_prob = _shared_jit(
+            ck, 'log_prob', lambda: jax.jit(self.model.log_prob))
+        self._sample = _shared_jit(
+            ck, 'sample',
+            lambda: jax.jit(self.model.sample, static_argnames=('num',)))
         self._epoch_cache = {}
 
         self.logger.info('Flow [%s] x_dim [%d] num_slow [%d]' %
@@ -197,7 +243,9 @@ class Trainer:
             x = self.model.sample_base(self._next_key(), 64)
         # jit the (pure) init: eager tracing of the whole chain is hundreds
         # of tiny dispatches — ~45 s over a remote-TPU tunnel vs <1 s jitted.
-        self.params = jax.jit(self.model.init)(self._next_key(), x)
+        init_fn = _shared_jit(self._config_key, 'init',
+                              lambda: jax.jit(self.model.init))
+        self.params = init_fn(self._next_key(), x)
         self._init_optimizer()
 
     def _init_optimizer(self):
@@ -393,8 +441,14 @@ class Trainer:
 
         cache_key = (n_train, n_valid, float(l2_norm), int(max_iters))
         if cache_key not in self._epoch_cache:
-            self._epoch_cache[cache_key] = self._make_train_fn(
-                n_train, n_valid, l2_norm, int(max_iters))
+            # The training program additionally depends on batch_size (tile
+            # count/padding) on top of the architecture+optimizer config.
+            skey = (None if self._config_key is None else
+                    self._config_key + (self.batch_size,) + cache_key)
+            self._epoch_cache[cache_key] = _shared_jit(
+                skey, 'train_fn',
+                lambda: self._make_train_fn(n_train, n_valid, l2_norm,
+                                            int(max_iters)))
         train_fn = self._epoch_cache[cache_key]
 
         # ONE dispatch runs the whole early-stopped training; one batched

@@ -92,3 +92,45 @@ def test_device_side_early_stop():
     assert 1 <= t.total_iters < 400
     assert np.isfinite(t.best_validation_loss)
     assert t.best_validation_epoch <= t.total_iters
+
+
+def test_shared_jit_across_instances():
+    """Same-config Trainer instances share jitted programs (seed-sweep
+    runners otherwise pay a re-trace + compile-cache load per seed) and the
+    shared program gives results identical to what each instance computes
+    on its own; custom base distributions opt out of sharing."""
+    from nnest_tpu.training.trainer import _SHARED_JIT_CACHE
+    from nnest_tpu.distributions import DiagNormal
+
+    samples = _ring_samples(200)
+    t1 = Trainer(2, flow='spline', log_dir=None, log=False,
+                 learning_rate=1e-3, seed=0)
+    t2 = Trainer(2, flow='spline', log_dir=None, log=False,
+                 learning_rate=1e-3, seed=0)
+    assert t1._config_key is not None
+    assert t1._forward is t2._forward
+    assert t1._log_prob is t2._log_prob
+
+    # the shared training program must produce identical trajectories for
+    # identical seeds and data (bit-level: same program, same operands)
+    t1.train(samples, max_iters=15, patience=15, jitter=0.0)
+    t2.train(samples, max_iters=15, patience=15, jitter=0.0)
+    assert t1._epoch_cache and t2._epoch_cache
+    (k1,), (k2,) = t1._epoch_cache.keys(), t2._epoch_cache.keys()
+    assert t1._epoch_cache[k1] is t2._epoch_cache[k2]
+    assert t1.best_validation_loss == t2.best_validation_loss
+    for a, b in zip(jax.tree_util.tree_leaves(t1.params),
+                    jax.tree_util.tree_leaves(t2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # different config must NOT share
+    t3 = Trainer(2, flow='spline', log_dir=None, log=False,
+                 learning_rate=5e-4, seed=0)
+    assert t3._forward is not t1._forward
+
+    # unhashable/custom base_dist disables sharing entirely
+    t4 = Trainer(2, flow='spline', log_dir=None, log=False,
+                 learning_rate=1e-3, seed=0, base_dist=DiagNormal(2))
+    assert t4._config_key is None
+    assert t4._forward is not t1._forward
+    assert not any(k[0] is None for k in _SHARED_JIT_CACHE)
