@@ -640,30 +640,48 @@ class Sampler:
         ``sampler.py:545-607``)."""
         self.trainer.ensure_init()
         params = self.trainer.params
-        # The envelope kernel is one cheap dispatch, so it runs on EVERY
-        # pool generation: with ``cache`` the fresh live-set values are
-        # folded into the cached maxima (live points migrate between full
-        # recomputes — under a fixed flow the envelope must cover every
-        # live point seen, and max-folding is exact); without ``cache``
-        # (periodic recompute / post-retrain invalidation) the cache is
-        # replaced outright, which lets the envelope shrink as dead points
-        # leave the live set. Reference recomputes on a fixed iteration
-        # modulo (sampler.py:555-560).
-        mld, mr = self._fetch_all(self.kernels.envelope(
-            params, init_samples, enlargement_factor))
-        if cache and self._max_log_det_j is not None:
-            self._max_log_det_j = max(self._max_log_det_j, float(mld))
-            self._max_r = max(self._max_r, float(mr))
-        else:
+        # The envelope runs on EVERY pool generation: with ``cache`` the
+        # fresh live-set values are folded into the cached maxima (live
+        # points migrate between full recomputes — under a fixed flow the
+        # envelope must cover every live point seen, and max-folding is
+        # exact); without ``cache`` (periodic recompute / post-retrain
+        # invalidation) the cache is replaced outright, which lets the
+        # envelope shrink as dead points leave the live set. Reference
+        # recomputes on a fixed iteration modulo (sampler.py:555-560).
+        draw_enlargement = enlargement_factor
+        if constant_efficiency_factor is not None:
+            draw_enlargement = (
+                1.0 / constant_efficiency_factor) ** (1.0 / self.x_dim)
+        if self.mesh is None:
+            # Fused single-dispatch path: envelope recompute + max-fold +
+            # rejection draw in one program (bit-identical — float max is
+            # exact and the key role matches; the two-dispatch route costs
+            # a full extra link round-trip per pool generation).
+            fold = bool(cache and self._max_log_det_j is not None)
+            x, logl, derived, ok, n_evals, mld, mr = self._fetch_all(
+                self.kernels.rejection_flow_live(
+                    params, self._next_key(), loglstar, init_samples,
+                    self._max_log_det_j if fold else 0.0,
+                    self._max_r if fold else 0.0, fold,
+                    enlargement_factor, draw_enlargement,
+                    int(num_trials)))
             self._max_log_det_j = float(mld)
             self._max_r = float(mr)
-        if constant_efficiency_factor is not None:
-            enlargement_factor = (
-                1.0 / constant_efficiency_factor) ** (1.0 / self.x_dim)
-        x, logl, derived, ok, n_evals = self._fetch_all(
-            self.kernels.rejection_flow(
-                params, self._next_key(), loglstar, self._max_log_det_j,
-                self._max_r, enlargement_factor, int(num_trials)))
+        else:
+            # mesh runs keep the explicit two-dispatch route
+            mld, mr = self._fetch_all(self.kernels.envelope(
+                params, init_samples, enlargement_factor))
+            if cache and self._max_log_det_j is not None:
+                self._max_log_det_j = max(self._max_log_det_j, float(mld))
+                self._max_r = max(self._max_r, float(mr))
+            else:
+                self._max_log_det_j = float(mld)
+                self._max_r = float(mr)
+            x, logl, derived, ok, n_evals = self._fetch_all(
+                self.kernels.rejection_flow(
+                    params, self._next_key(), loglstar,
+                    self._max_log_det_j, self._max_r, draw_enlargement,
+                    int(num_trials)))
         ok = np.asarray(ok)
         self.total_calls += int(n_evals)
         n_ok = int(ok.sum())

@@ -134,6 +134,9 @@ class LatentKernels:
         self._rejection_flow = jax.jit(self._rejection_flow_impl,
                                        static_argnames=('num_trials',
                                                         'use_usample'))
+        self._rejection_flow_live = jax.jit(
+            self._rejection_flow_live_impl,
+            static_argnames=('num_trials', 'use_usample'))
         self._density = jax.jit(self._density_impl,
                                 static_argnames=('num_trials',))
         self._envelope = jax.jit(self._envelope_impl)
@@ -491,6 +494,42 @@ class LatentKernels:
             params, key, np.float32(loglstar), np.float32(max_log_det_j),
             np.float32(max_r), np.float32(enlargement_factor),
             num_trials=num_trials, use_usample=use_usample)
+
+    def rejection_flow_live(self, params, key, loglstar, live_u, prev_mld,
+                            prev_mr, fold, enlargement_factor,
+                            draw_enlargement, num_trials):
+        """Fused envelope + latent rejection: recompute the Jacobian
+        envelope from the live set, max-fold it into the carried maxima,
+        and run the rejection draw — ONE device program instead of the
+        two-dispatch envelope→rejection sequence (a full extra link
+        round-trip per pool generation). Bit-identical to the unfused
+        route: float max is exact, the key role matches (the envelope
+        consumes no key), and the rejection body is the same traced
+        function. ``fold=False`` replaces the maxima outright (periodic
+        recompute / post-retrain invalidation); ``draw_enlargement``
+        differs from ``enlargement_factor`` only in constant-efficiency
+        mode (reference ``sampler.py:569-575``). Returns the rejection
+        outputs plus the updated (max_log_det_j, max_r)."""
+        use_usample = getattr(self.model.base_dist, 'has_usample', False)
+        return self._rejection_flow_live(
+            params, key, np.float32(loglstar),
+            np.asarray(live_u, dtype=np.float32), np.float32(prev_mld),
+            np.float32(prev_mr), np.bool_(fold),
+            np.float32(enlargement_factor), np.float32(draw_enlargement),
+            num_trials=num_trials, use_usample=use_usample)
+
+    def _rejection_flow_live_impl(self, params, key, loglstar, live_u,
+                                  prev_mld, prev_mr, fold,
+                                  enlargement_factor, draw_enlargement, *,
+                                  num_trials, use_usample):
+        mld_new, mr_new = self._envelope_impl(params, live_u,
+                                              enlargement_factor)
+        mld = jnp.where(fold, jnp.maximum(prev_mld, mld_new), mld_new)
+        mr = jnp.where(fold, jnp.maximum(prev_mr, mr_new), mr_new)
+        out = self._rejection_flow_impl(
+            params, key, loglstar, mld, mr, draw_enlargement,
+            num_trials=num_trials, use_usample=use_usample)
+        return out + (mld, mr)
 
     def _rejection_flow_impl(self, params, key, loglstar, max_log_det_j,
                              max_r, enlargement_factor, *, num_trials,

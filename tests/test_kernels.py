@@ -254,3 +254,40 @@ def test_fast_slow_proposals_freeze_slow_dims():
     samples = np.asarray(out['samples'])
     assert np.all(samples[:, :, :num_slow] == samples[:, :1, :num_slow])
     assert int(out['fast_calls']) == int(out['ncall'])
+
+
+def test_rejection_flow_live_matches_unfused(gauss_setup):
+    """The fused envelope+rejection pool generation
+    (``rejection_flow_live``) is bit-identical to the two-dispatch route
+    it replaces (envelope kernel -> host max-fold -> rejection kernel),
+    in both fold modes."""
+    model, params, kern, like_fn = gauss_setup
+    live_u = jnp.asarray(
+        np.random.RandomState(3).uniform(-0.8, 0.8, size=(50, 2)),
+        jnp.float32)
+    key = jax.random.PRNGKey(7)
+    loglstar, enl, trials = -2.0, 1.1, 256
+
+    # unfused oracle: envelope dispatch, host fold, rejection dispatch.
+    # Cached host maxima always originate from device f32 pulls, so prev
+    # values are exactly f32-representable by construction.
+    mld_new, mr_new = jax.device_get(kern.envelope(params, live_u, enl))
+    f32 = lambda v: float(np.float32(v))  # noqa: E731
+    for fold, prev in (
+            (False, (0.0, 0.0)),
+            (True, (f32(float(mld_new) + 0.7), f32(float(mr_new) - 0.1))),
+            (True, (f32(float(mld_new) - 0.5), f32(float(mr_new) + 0.4)))):
+        if fold:
+            mld = max(prev[0], float(mld_new))
+            mr = max(prev[1], float(mr_new))
+        else:
+            mld, mr = float(mld_new), float(mr_new)
+        ref = jax.device_get(kern.rejection_flow(
+            params, key, loglstar, mld, mr, enl, trials))
+        fused = jax.device_get(kern.rejection_flow_live(
+            params, key, loglstar, live_u, prev[0], prev[1], fold,
+            enl, enl, trials))
+        assert float(fused[5]) == mld and float(fused[6]) == mr
+        for a, b in zip(ref, fused[:5]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert np.asarray(ref[3]).sum() > 0  # some candidates accepted
