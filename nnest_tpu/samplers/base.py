@@ -554,6 +554,51 @@ class Sampler:
             out = self._fetch_all(out)
         return self._consume_endpoint_out(out)
 
+    def _mcmc_generations_batch(self,
+                                mcmc_steps,
+                                active_u,
+                                active_logl,
+                                active_derived,
+                                num_chains,
+                                step_size,
+                                it,
+                                update_interval,
+                                max_iters,
+                                max_gens,
+                                dynamic_step_size=False):
+        """Prefetch up to ``max_gens`` MCMC pool generations in one
+        dispatch + ONE batched pull (``LatentKernels.mcmc_pool_generations``
+        — on-device pool consumption evolves the live set between
+        generations, bit-identical to dispatching them one at a time; see
+        the kernel docstring for the exactness argument). Consumes the
+        sampler key on device: two splits per generation in ``_next_key``
+        order, so the carried key is replaced by the kernel's advanced key.
+
+        Returns a list of (endpoint_out_dict, start_loglstar, start_it)
+        tuples, one per generation actually run — the caller feeds each
+        through ``_consume_endpoint_out`` at the moment the host replay
+        reaches it, keeping counter/ncall accounting identical to the
+        unfused route (generations never consumed are discarded and never
+        counted)."""
+        if step_size <= 0.0:
+            step_size = 2.0 / self.x_dim ** 0.5
+        self.trainer.ensure_init()
+        key = self._key
+        with self.timers.time('mcmc_kernel'):
+            bufs, meta, n_gens, key_out = self.kernels.mcmc_pool_generations(
+                self.trainer.params, key, active_u, active_logl,
+                active_derived, it, step_size, update_interval, max_iters,
+                num_chains=num_chains, mcmc_steps=mcmc_steps,
+                max_gens=max_gens, dynamic_step_size=dynamic_step_size)
+            self._key = key_out
+            bufs, meta, n_gens = self._fetch_all((bufs, meta, n_gens))
+        gens = []
+        for g in range(int(n_gens)):
+            gens.append(({k: v[g] for k, v in bufs.items()},
+                         float(meta['start_loglstar'][g]),
+                         int(meta['start_it'][g])))
+        return gens
+
     def _mcmc_sample(self,
                      mcmc_steps,
                      step_size=0.0,

@@ -129,6 +129,11 @@ class LatentKernels:
                                       'num_chains', 'mcmc_steps',
                                       'dynamic_step_size',
                                       'prior_volume_steps'))
+        self._mcmc_gens = jax.jit(self._mcmc_pool_generations_impl,
+                                  static_argnames=(
+                                      'num_chains', 'mcmc_steps',
+                                      'max_gens', 'dynamic_step_size',
+                                      'prior_volume_steps'))
         self._fusable = None  # resolved lazily (import cycle + cheap check)
         self._rejection_prior = None  # built lazily (needs a prior sampler)
         self._rejection_flow = jax.jit(self._rejection_flow_impl,
@@ -446,6 +451,131 @@ class LatentKernels:
             dynamic_step_size=dynamic_step_size,
             prior_volume_steps=prior_volume_steps, collect_chains=False,
             own_moments=False)
+
+    def mcmc_pool_generations(self, params, key, active_u, active_logl,
+                              active_derived, it, step_size,
+                              update_interval, max_iters, *, num_chains,
+                              mcmc_steps, max_gens, dynamic_step_size=False,
+                              prior_volume_steps=1):
+        """Run up to ``max_gens`` MCMC pool generations in ONE dispatch.
+
+        The nested sampler's MCMC phase is dispatch-count bound on the
+        remote-TPU link (55 generations x ~110 ms at 10-D, most of it
+        round-trip latency): each generation's chains start from the
+        *current* live set, so the host had to consume every pool before
+        dispatching the next one. This kernel moves that consumption on
+        device: after each generation it replays the host's exact pool
+        state machine (argmin-worst selection, ``logl > loglstar`` accept,
+        one-hot replacement — reference ``nested.py:375-385, 429-439``) so
+        the next generation can launch from the evolved live set without a
+        link round-trip. The host then replays the identical consumption
+        in float64 for evidence accumulation, serving generations from the
+        returned buffers — results are bit-identical to the one-dispatch-
+        per-generation route whenever every live loglike is exactly
+        f32-representable (the caller gates on that): the f32 cast is
+        monotonic so ``min``/``argmin``/compares agree, candidate values
+        are f32 by construction, and the key split sequence matches
+        ``Sampler._next_key`` (two splits per generation, same order).
+
+        The device stops early (before *starting* another generation) when
+        consumption crosses an ``update_interval`` iteration boundary —
+        the host may retrain the flow there (``nested.py:300-320``), and
+        any later generation must see the new params — or when ``it``
+        exceeds ``max_iters``. Generations the host never consumes (dlogz
+        termination mid-buffer) are discarded: their likelihood calls are
+        never added to ``total_calls``, matching the unfused accounting.
+
+        Returns (buffers, meta, n_gens, key_out) where ``buffers`` stacks
+        each generation's endpoint outputs along a leading ``max_gens``
+        axis, ``meta`` records each generation's start (loglstar, it) for
+        host-side lockstep assertions, and ``key_out`` is the PRNG key
+        advanced past the ``n_gens`` generations actually run.
+        """
+        return self._mcmc_gens(
+            params, key,
+            np.asarray(active_u, np.float32),
+            np.asarray(active_logl, np.float32),
+            np.asarray(active_derived, np.float32),
+            np.int32(it), np.float32(step_size),
+            np.int32(update_interval), np.int32(max_iters),
+            num_chains=num_chains, mcmc_steps=mcmc_steps,
+            max_gens=max_gens, dynamic_step_size=dynamic_step_size,
+            prior_volume_steps=prior_volume_steps)
+
+    def _mcmc_pool_generations_impl(self, params, key, active_u,
+                                    active_logl, active_derived, it0,
+                                    step_size, update_interval, max_iters,
+                                    *, num_chains, mcmc_steps, max_gens,
+                                    dynamic_step_size, prior_volume_steps):
+        n_live = active_u.shape[0]
+        live_iota = jax.lax.iota(jnp.int32, n_live)
+
+        def core(key_idx, key_chain, au, al, ad, loglstar):
+            return self._mcmc_from_live_impl(
+                params, key_idx, key_chain, au, al, ad, loglstar,
+                step_size, num_chains=num_chains, mcmc_steps=mcmc_steps,
+                dynamic_step_size=dynamic_step_size,
+                prior_volume_steps=prior_volume_steps)
+
+        out_sd = jax.eval_shape(core, key, key, active_u, active_logl,
+                                active_derived, jnp.float32(0.0))
+        bufs0 = jax.tree.map(
+            lambda s: jnp.zeros((max_gens,) + tuple(s.shape), s.dtype),
+            out_sd)
+        meta0 = {'start_loglstar': jnp.zeros((max_gens,), jnp.float32),
+                 'start_it': jnp.zeros((max_gens,), jnp.int32)}
+
+        def consume_one(carry, cand):
+            # One host pass (nested.py:419-433): candidates compared in
+            # order against the *current* worst; an accept replaces it and
+            # advances the iteration counter. Unmoved candidates never
+            # enter the host pool, so moved=False lanes are no-ops here
+            # exactly as there. One-hot masked-where replacement (TPU
+            # rules: no row scatter; no onehot*x with possible ±inf).
+            au, al, ad, it, crossed = carry
+            moved_i, logl_i, x_i, d_i = cand
+            loglstar = jnp.min(al)
+            acc = jnp.logical_and(moved_i, logl_i > loglstar)
+            sel = jnp.logical_and(acc, live_iota == jnp.argmin(al))
+            au = jnp.where(sel[:, None], x_i[None, :], au)
+            al = jnp.where(sel, logl_i, al)
+            ad = jnp.where(sel[:, None], d_i[None, :], ad)
+            it = it + acc.astype(jnp.int32)
+            crossed = jnp.logical_or(crossed, jnp.logical_and(
+                acc, it % update_interval == 0))
+            return (au, al, ad, it, crossed), None
+
+        def cond(state):
+            _, _, _, _, _, gen, stop, _, _ = state
+            return jnp.logical_and(gen < max_gens, jnp.logical_not(stop))
+
+        def body(state):
+            key, au, al, ad, it, gen, stop, bufs, meta = state
+            key, key_idx = tuple(jax.random.split(key))
+            key, key_chain = tuple(jax.random.split(key))
+            loglstar = jnp.min(al)
+            out = core(key_idx, key_chain, au, al, ad, loglstar)
+            (au, al, ad, it2, crossed), _ = jax.lax.scan(
+                consume_one, (au, al, ad, it, jnp.asarray(False)),
+                (out['moved'], out['final_logl'], out['final_x'],
+                 out['final_derived']))
+            bufs = jax.tree.map(
+                lambda b, v: jax.lax.dynamic_update_index_in_dim(
+                    b, v, gen, 0), bufs, out)
+            meta = {
+                'start_loglstar': jax.lax.dynamic_update_index_in_dim(
+                    meta['start_loglstar'], loglstar, gen, 0),
+                'start_it': jax.lax.dynamic_update_index_in_dim(
+                    meta['start_it'], it, gen, 0)}
+            stop = jnp.logical_or(crossed, it2 > max_iters)
+            return (key, au, al, ad, it2, gen + jnp.int32(1), stop, bufs,
+                    meta)
+
+        state0 = (key, active_u, active_logl, active_derived, it0,
+                  jnp.int32(0), jnp.asarray(False), bufs0, meta0)
+        (key_out, _, _, _, _, n_gens, _, bufs,
+         meta) = jax.lax.while_loop(cond, body, state0)
+        return bufs, meta, n_gens, key_out
 
     # ----------------------------------------------------- rejection/prior
 

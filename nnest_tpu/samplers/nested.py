@@ -122,7 +122,8 @@ class NestedSampler(Sampler):
             rejection_batch_size=512,
             rejection_max_trials=65536,
             rejection_adapt_trials=True,
-            retrain_nll_threshold=0.5):
+            retrain_nll_threshold=0.5,
+            mcmc_gen_batch=8):
         if strategy is None or len(strategy) == 0:
             strategy = ['rejection_prior', 'mcmc']
         expired = []
@@ -200,6 +201,7 @@ class NestedSampler(Sampler):
         need_pool = True
         pool = None           # candidate pool: dict of arrays
         pool_pos = 0
+        mcmc_gen_buffer = []  # prefetched MCMC pool generations
         env_gens = 0          # rejection-flow pool generations since the
         #                       envelope (max_log_det_j / max_r) was computed
         ncs = []
@@ -367,7 +369,40 @@ class NestedSampler(Sampler):
 
             elif current_method == 'mcmc':
                 if need_pool:
-                    if self.mesh is None:
+                    # Multi-generation prefetch is exact only when every
+                    # live loglike is f32-representable (the device's
+                    # consumption state machine runs in f32; the cast is
+                    # monotonic, so min/argmin/compare decisions then
+                    # match the host's f64 replay bit-for-bit). All-device
+                    # pipelines satisfy this by construction; host
+                    # likelihoods returning true f64 values fall back to
+                    # one dispatch per generation.
+                    use_gen_batch = self.mesh is None and mcmc_gen_batch > 1
+                    if use_gen_batch and not mcmc_gen_buffer:
+                        al32 = active_logl.astype(np.float32)
+                        use_gen_batch = bool(np.all(
+                            al32.astype(np.float64) == active_logl))
+                        if use_gen_batch:
+                            mcmc_gen_buffer = self._mcmc_generations_batch(
+                                mcmc_steps, active_u, active_logl,
+                                active_derived if self.num_derived > 0
+                                else np.empty((self.num_live_points, 0)),
+                                mcmc_num_chains, step_size, it,
+                                update_interval, max_iters, mcmc_gen_batch,
+                                dynamic_step_size=mcmc_dynamic_step_size)
+                    if use_gen_batch and mcmc_gen_buffer:
+                        out_g, g_loglstar, g_it = mcmc_gen_buffer.pop(0)
+                        if g_it != it or \
+                                g_loglstar != float(np.float32(loglstar)):
+                            raise RuntimeError(
+                                'MCMC generation prefetch desync: device '
+                                'simulated (it=%d, loglstar=%r), host '
+                                'replay is at (it=%d, loglstar=%r)' % (
+                                    g_it, g_loglstar, it,
+                                    float(np.float32(loglstar))))
+                        (u_f, logl_f, derived_f, moved, mcmc_scale,
+                         mean_jump, nc) = self._consume_endpoint_out(out_g)
+                    elif self.mesh is None:
                         # Fused single-dispatch path: index draw + live-
                         # point selection + projection + chain scan in one
                         # device program (bit-identical trajectories to

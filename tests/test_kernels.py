@@ -291,3 +291,60 @@ def test_rejection_flow_live_matches_unfused(gauss_setup):
         for a, b in zip(ref, fused[:5]):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert np.asarray(ref[3]).sum() > 0  # some candidates accepted
+
+
+def test_mcmc_pool_generations_match_sequential(gauss_setup):
+    """The multi-generation MCMC batch kernel (``mcmc_pool_generations``)
+    is bit-identical to dispatching ``mcmc_from_live`` once per pool
+    generation with host-side consumption between them: same key split
+    order, same endpoint buffers, same consumption state machine, and the
+    device stops exactly at the first update_interval boundary crossing."""
+    model, params, kern, like_fn = gauss_setup
+    rs = np.random.RandomState(11)
+    n_live, dim = 40, 2
+    au = rs.uniform(-0.7, 0.7, size=(n_live, dim)).astype(np.float32)
+    al = np.asarray(like_fn(jnp.asarray(au))[0], np.float32)
+    ad = np.zeros((n_live, 0), np.float32)
+    key = jax.random.PRNGKey(5)
+    num_chains, steps, max_gens, ui = 8, 20, 4, 7
+    it0 = 3
+
+    bufs, meta, n_gens, key_out = kern.mcmc_pool_generations(
+        params, key, au, al, ad, it0, 0.5, ui, 10**6,
+        num_chains=num_chains, mcmc_steps=steps, max_gens=max_gens)
+    bufs, meta, n_gens = jax.device_get((bufs, meta, n_gens))
+
+    cau, cal, cad = au.copy(), al.copy(), ad.copy()
+    ckey, it, gens_done, crossed = key, it0, 0, False
+    for g in range(int(n_gens)):
+        ckey, kidx = jax.random.split(ckey)
+        ckey, kchain = jax.random.split(ckey)
+        loglstar = float(cal.min())
+        assert float(meta['start_loglstar'][g]) == np.float32(loglstar)
+        assert int(meta['start_it'][g]) == it
+        out = jax.device_get(kern.mcmc_from_live(
+            params, kidx, kchain, cau, cal, cad, num_chains=num_chains,
+            loglstar=loglstar, step_size=0.5, mcmc_steps=steps))
+        for k_, v in out.items():
+            np.testing.assert_array_equal(
+                np.asarray(bufs[k_][g]), np.asarray(v), err_msg=k_)
+        crossed = False
+        for i in range(num_chains):
+            if out['moved'][i] and out['final_logl'][i] > cal.min():
+                w = int(np.argmin(cal))
+                cau[w] = out['final_x'][i]
+                cal[w] = out['final_logl'][i]
+                it += 1
+                if it % ui == 0:
+                    crossed = True
+        gens_done += 1
+        if crossed:
+            break
+    # device ran exactly the generations the sequential route would have
+    # before the boundary stop (or all max_gens if no crossing), and
+    # advanced the key by exactly two splits per generation.
+    assert int(n_gens) == gens_done
+    assert crossed or int(n_gens) == max_gens
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(key_out)),
+        np.asarray(jax.random.key_data(ckey)))

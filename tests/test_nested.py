@@ -200,3 +200,20 @@ def test_checkpoint_cadence_never_starves(tmp_path):
     its = sorted(int(os.path.basename(p)[len('checkpoint_'):-4])
                  for p in cps)
     assert any(i >= 600 for i in its), its
+
+
+def test_mcmc_gen_batch_bit_identical(tmp_path):
+    """Multi-generation MCMC prefetch (mcmc_gen_batch=8, the default) is
+    bit-identical end-to-end to one dispatch per pool generation
+    (mcmc_gen_batch=1): same evidence, same ncall, same information."""
+    like = Gaussian(2, 0.0, lim=3)
+    results = {}
+    for batch in (1, 8):
+        s = NestedSampler(2, like, transform=lambda x: 3 * x,
+                          num_live_points=100,
+                          log_dir=str(tmp_path / ('b%d' % batch)),
+                          resume=False, seed=7)
+        s.run(train_iters=50, dlogz=0.5, volume_switch=0.5,
+              mcmc_num_chains=10, mcmc_steps=20, mcmc_gen_batch=batch)
+        results[batch] = (s.logz, s.logzerr, s.total_calls)
+    assert results[1] == results[8]
