@@ -327,9 +327,20 @@ class Sampler:
         elif not callable(logpdf) and _is_jax_traceable(
                 lambda v: user_loglike(transform_jax(v)), (2, x_dim)):
             def like_fn(u):
-                logl = user_loglike(transform_jax(u))
+                res = user_loglike(transform_jax(u))
+                # Traceable likelihoods may return (logl, derived) like the
+                # reference's host API (sampler.py:120-133) — keep derived
+                # computation on device instead of forcing the io_callback
+                # path. The isinstance check is trace-time static.
+                if isinstance(res, tuple):
+                    logl, derived = res
+                    derived = jnp.asarray(derived, jnp.float32)
+                else:
+                    logl = res
+                    derived = jnp.zeros((u.shape[0], num_derived),
+                                        jnp.float32)
                 logl = jnp.where(jnp.isfinite(logl), logl, -1e32)
-                return logl, jnp.zeros((u.shape[0], num_derived), jnp.float32)
+                return logl, derived
         else:
             def _host_call(a):
                 a = np.asarray(a, dtype=np.float64)

@@ -217,3 +217,29 @@ def test_mcmc_gen_batch_bit_identical(tmp_path):
               mcmc_num_chains=10, mcmc_steps=20, mcmc_gen_batch=batch)
         results[batch] = (s.logz, s.logzerr, s.total_calls)
     assert results[1] == results[8]
+
+
+def test_mcmc_gen_batch_bit_identical_derived(tmp_path):
+    """Multi-generation prefetch with derived parameters: the on-device
+    consumption must carry derived columns through worst-replacement
+    exactly (pure-JAX likelihood so the f32-exact gate passes)."""
+    import jax.numpy as jnp
+
+    def loglike(x):
+        logl = -0.5 * jnp.sum(x ** 2, axis=-1)
+        derived = jnp.stack([jnp.sum(x, axis=-1),
+                             jnp.linalg.norm(x, axis=-1)], axis=-1)
+        return logl, derived
+
+    results = {}
+    for batch in (1, 8):
+        s = NestedSampler(2, loglike, transform=lambda x: 3 * x,
+                          num_derived=2, num_live_points=100,
+                          log_dir=str(tmp_path / ('d%d' % batch)),
+                          resume=False, seed=11)
+        s.run(train_iters=50, dlogz=0.5, volume_switch=0.5,
+              mcmc_num_chains=10, mcmc_steps=20, mcmc_gen_batch=batch)
+        results[batch] = (s.logz, s.logzerr, s.total_calls,
+                          np.asarray(s.samples))
+    assert results[1][:3] == results[8][:3]
+    np.testing.assert_array_equal(results[1][3], results[8][3])
