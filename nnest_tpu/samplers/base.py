@@ -238,6 +238,7 @@ class Sampler:
         self._max_log_det_j = None
         self._max_r = None
         self._last_kernel_stats = None
+        self._io_writer = None  # lazy serial background artifact writer
 
     # ------------------------------------------------------------- params
 
@@ -274,6 +275,22 @@ class Sampler:
                 return jax.device_put(x, replicated(self.mesh))
             return x
         return jax.device_get(jax.tree.map(reshard, tree))
+
+    def _submit_io(self, job):
+        """Queue a file-IO closure on the serial background writer (state
+        must already be snapshotted — the closure may run while the main
+        thread mutates live arrays)."""
+        if self._io_writer is None:
+            from nnest_tpu.utils.io_async import SerialWriter
+            self._io_writer = SerialWriter()
+        self._io_writer.submit(job)
+
+    def _drain_io(self):
+        """Block until queued artifact writes hit disk (call before
+        reading checkpoints back and before declaring a run complete);
+        re-raises the first background write failure."""
+        if self._io_writer is not None:
+            self._io_writer.drain()
 
     def _join_plots(self):
         """Join any in-flight async diagnostic render before main-thread

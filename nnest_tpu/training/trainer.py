@@ -171,6 +171,8 @@ class Trainer:
 
         self._key = jax.random.PRNGKey(seed)
         self.params = None  # data-dependent init at first train()/use
+        self._host_params_src = None   # identity key for host_params()
+        self._host_params_cache = None
 
         self.learning_rate = learning_rate
         self.weight_decay = weight_decay
@@ -559,12 +561,24 @@ class Trainer:
 
     # --------------------------------------------------------- persistence
 
+    def host_params(self):
+        """Host copy of the current flow params, memoized on the params
+        pytree's identity: ``train()``/``load()``/init rebind
+        ``self.params``, so one batched tunnel pull per retrain serves
+        every checkpoint written until the next retrain (checkpoints are
+        written far more often than the flow retrains)."""
+        if self.params is not self._host_params_src:
+            # device_get issues every leaf's copy_to_host_async before
+            # blocking — per-leaf np.asarray costs one tunnel round-trip
+            # per parameter tensor (profiled: ~0.5 s/save for a ~50-leaf
+            # flow)
+            self._host_params_cache = jax.device_get(self.params)
+            self._host_params_src = self.params
+        return self._host_params_cache
+
     def save(self, path):
-        # device_get issues every leaf's copy_to_host_async before blocking
-        # — per-leaf np.asarray costs one tunnel round-trip per parameter
-        # tensor (profiled: ~0.5 s/save for a ~50-leaf flow)
         with open(path, 'wb') as f:
-            pickle.dump(jax.device_get(self.params), f)
+            pickle.dump(self.host_params(), f)
 
     def load(self, path):
         with open(path, 'rb') as f:
