@@ -702,6 +702,46 @@ class Sampler:
         return (np.asarray(x)[ok], np.asarray(logl, dtype=np.float64)[ok],
                 np.asarray(derived, dtype=np.float64)[ok], nc)
 
+    def _rejection_prior_generations_batch(self, active_u, active_logl,
+                                           active_derived, it, max_iters,
+                                           it_stop, ncs, expiry_thr,
+                                           trials_target, num_trials,
+                                           max_gens, adapt_trials,
+                                           can_double, can_halve,
+                                           prior=None):
+        """Prefetch up to ``max_gens`` prior-rejection pool generations in
+        one dispatch + ONE batched pull
+        (``LatentKernels.rejection_prior_generations``). Consumes the
+        sampler key on device (one split per generation in ``_next_key``
+        order). ``ncs`` is the host's f64 mean-calls window; its last 20
+        entries are mirrored to the device ring keyed on absolute push
+        index. Returns a list of
+        (x, logl, derived, ok, start_loglstar, start_it) per generation
+        actually run."""
+        prior = prior if prior is not None else self._user_prior
+        window_vals = np.zeros(20, np.float32)
+        count = len(ncs)
+        for idx in range(max(0, count - 20), count):
+            window_vals[idx % 20] = np.float32(ncs[idx])
+        key = self._key
+        with self.timers.time('candidate_kernel'):
+            bufs, meta, n_gens, key_out = \
+                self.kernels.rejection_prior_generations(
+                    prior, key, active_u, active_logl, active_derived,
+                    it, max_iters, it_stop, window_vals, count,
+                    expiry_thr, trials_target, num_trials=num_trials,
+                    max_gens=max_gens, adapt_trials=adapt_trials,
+                    can_double=can_double, can_halve=can_halve)
+            self._key = key_out
+            bufs, meta, n_gens = self._fetch_all((bufs, meta, n_gens))
+        gens = []
+        for g in range(int(n_gens)):
+            gens.append((bufs['x'][g], bufs['logl'][g],
+                         bufs['derived'][g], bufs['ok'][g],
+                         float(meta['start_loglstar'][g]),
+                         int(meta['start_it'][g])))
+        return gens
+
     def _rejection_flow_sample(self,
                                init_samples,
                                loglstar,

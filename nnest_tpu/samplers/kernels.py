@@ -452,6 +452,42 @@ class LatentKernels:
             prior_volume_steps=prior_volume_steps, collect_chains=False,
             own_moments=False)
 
+    def _consume_pool(self, au, al, ad, it, accept_flags, cand_logl,
+                      cand_x, cand_derived, update_interval=None):
+        """On-device replay of the host's pool-consumption state machine
+        (one scan step per candidate; reference ``nested.py:375-385,
+        429-439``): candidates compared in order against the *current*
+        worst live point; an accept replaces it (one-hot masked-where —
+        TPU rules: no row scatter, no onehot*x with possible ±inf) and
+        advances the iteration counter. Candidates with
+        ``accept_flags=False`` never enter the host pool, so they are
+        no-ops here exactly as there. With ``update_interval`` set, also
+        reports whether any accept landed on a retrain boundary
+        (``it % update_interval == 0``, reference ``nested.py:311-314``).
+
+        Returns (au, al, ad, it, crossed)."""
+        live_iota = jax.lax.iota(jnp.int32, au.shape[0])
+
+        def consume_one(carry, cand):
+            au, al, ad, it, crossed = carry
+            flag_i, logl_i, x_i, d_i = cand
+            loglstar = jnp.min(al)
+            acc = jnp.logical_and(flag_i, logl_i > loglstar)
+            sel = jnp.logical_and(acc, live_iota == jnp.argmin(al))
+            au = jnp.where(sel[:, None], x_i[None, :], au)
+            al = jnp.where(sel, logl_i, al)
+            ad = jnp.where(sel[:, None], d_i[None, :], ad)
+            it = it + acc.astype(jnp.int32)
+            if update_interval is not None:
+                crossed = jnp.logical_or(crossed, jnp.logical_and(
+                    acc, it % update_interval == 0))
+            return (au, al, ad, it, crossed), None
+
+        (au, al, ad, it, crossed), _ = jax.lax.scan(
+            consume_one, (au, al, ad, it, jnp.asarray(False)),
+            (accept_flags, cand_logl, cand_x, cand_derived))
+        return au, al, ad, it, crossed
+
     def mcmc_pool_generations(self, params, key, active_u, active_logl,
                               active_derived, it, step_size,
                               update_interval, max_iters, *, num_chains,
@@ -507,9 +543,6 @@ class LatentKernels:
                                     step_size, update_interval, max_iters,
                                     *, num_chains, mcmc_steps, max_gens,
                                     dynamic_step_size, prior_volume_steps):
-        n_live = active_u.shape[0]
-        live_iota = jax.lax.iota(jnp.int32, n_live)
-
         def core(key_idx, key_chain, au, al, ad, loglstar):
             return self._mcmc_from_live_impl(
                 params, key_idx, key_chain, au, al, ad, loglstar,
@@ -525,26 +558,6 @@ class LatentKernels:
         meta0 = {'start_loglstar': jnp.zeros((max_gens,), jnp.float32),
                  'start_it': jnp.zeros((max_gens,), jnp.int32)}
 
-        def consume_one(carry, cand):
-            # One host pass (nested.py:419-433): candidates compared in
-            # order against the *current* worst; an accept replaces it and
-            # advances the iteration counter. Unmoved candidates never
-            # enter the host pool, so moved=False lanes are no-ops here
-            # exactly as there. One-hot masked-where replacement (TPU
-            # rules: no row scatter; no onehot*x with possible ±inf).
-            au, al, ad, it, crossed = carry
-            moved_i, logl_i, x_i, d_i = cand
-            loglstar = jnp.min(al)
-            acc = jnp.logical_and(moved_i, logl_i > loglstar)
-            sel = jnp.logical_and(acc, live_iota == jnp.argmin(al))
-            au = jnp.where(sel[:, None], x_i[None, :], au)
-            al = jnp.where(sel, logl_i, al)
-            ad = jnp.where(sel[:, None], d_i[None, :], ad)
-            it = it + acc.astype(jnp.int32)
-            crossed = jnp.logical_or(crossed, jnp.logical_and(
-                acc, it % update_interval == 0))
-            return (au, al, ad, it, crossed), None
-
         def cond(state):
             _, _, _, _, _, gen, stop, _, _ = state
             return jnp.logical_and(gen < max_gens, jnp.logical_not(stop))
@@ -555,10 +568,10 @@ class LatentKernels:
             key, key_chain = tuple(jax.random.split(key))
             loglstar = jnp.min(al)
             out = core(key_idx, key_chain, au, al, ad, loglstar)
-            (au, al, ad, it2, crossed), _ = jax.lax.scan(
-                consume_one, (au, al, ad, it, jnp.asarray(False)),
-                (out['moved'], out['final_logl'], out['final_x'],
-                 out['final_derived']))
+            au, al, ad, it2, crossed = self._consume_pool(
+                au, al, ad, it, out['moved'], out['final_logl'],
+                out['final_x'], out['final_derived'],
+                update_interval=update_interval)
             bufs = jax.tree.map(
                 lambda b, v: jax.lax.dynamic_update_index_in_dim(
                     b, v, gen, 0), bufs, out)
@@ -579,22 +592,173 @@ class LatentKernels:
 
     # ----------------------------------------------------- rejection/prior
 
+    def _prior_impls(self, prior):
+        """(raw, jitted, jitted_gens) rejection-prior programs for
+        ``prior``, built lazily (the prior arrives per call, not at
+        construction)."""
+        if self._rejection_prior is None or \
+                self._rejection_prior[0] is not prior:
+            def impl(key, loglstar, *, num_trials):
+                x = prior.sample_jax(key, num_trials)
+                logl, derived = self.like_fn(x)
+                ok = jnp.logical_and(jnp.isfinite(logl), logl > loglstar)
+                return x, logl, derived, ok
+
+            def gens_impl(key, active_u, active_logl, active_derived,
+                          it0, max_iters, it_stop, window_vals,
+                          window_count, expiry_thr, trials_target, *,
+                          num_trials, max_gens, adapt_trials, can_double,
+                          can_halve):
+                # explicit signature: static_argnames cannot bind through
+                # a *args/**kw catch-all
+                return self._rejection_prior_generations_impl(
+                    impl, key, active_u, active_logl, active_derived,
+                    it0, max_iters, it_stop, window_vals, window_count,
+                    expiry_thr, trials_target, num_trials=num_trials,
+                    max_gens=max_gens, adapt_trials=adapt_trials,
+                    can_double=can_double, can_halve=can_halve)
+
+            self._rejection_prior = (
+                prior,
+                jax.jit(impl, static_argnames=('num_trials',)),
+                jax.jit(gens_impl, static_argnames=(
+                    'num_trials', 'max_gens', 'adapt_trials',
+                    'can_double', 'can_halve')))
+        return self._rejection_prior
+
     def rejection_prior(self, prior, key, loglstar, num_trials):
         """Batched brute-force rejection from the prior (reference
         ``sampler.py:529-543``): draw ``num_trials`` prior points, evaluate
         all, return successes and the effective cost
         ncall = trials/successes."""
-        if self._rejection_prior is None or \
-                self._rejection_prior[0] is not prior:
-            def impl(key, loglstar, num_trials):
-                x = prior.sample_jax(key, num_trials)
-                logl, derived = self.like_fn(x)
-                ok = jnp.logical_and(jnp.isfinite(logl), logl > loglstar)
-                return x, logl, derived, ok
-            self._rejection_prior = (prior, jax.jit(
-                impl, static_argnames=('num_trials',)))
-        return self._rejection_prior[1](key, np.float32(loglstar),
-                                        num_trials)
+        return self._prior_impls(prior)[1](key, np.float32(loglstar),
+                                           num_trials=num_trials)
+
+    def rejection_prior_generations(self, prior, key, active_u,
+                                    active_logl, active_derived, it,
+                                    max_iters, it_stop, window_vals,
+                                    window_count, expiry_thr,
+                                    trials_target, *, num_trials, max_gens,
+                                    adapt_trials, can_double, can_halve):
+        """Run up to ``max_gens`` prior-rejection pool generations in ONE
+        dispatch — the prior-rejection phase analogue of
+        ``mcmc_pool_generations`` (same on-device consumption state
+        machine, one key split per generation matching
+        ``Sampler._next_key``). The device stops *before starting* a
+        generation the host's replay might not consume, so the key stream
+        stays bit-identical to the one-dispatch-per-generation route:
+
+        - ladder stop (exact, integer): the adaptive trial batch would
+          double/halve after this generation (``nested.py`` efficiency
+          controller) — the next generation needs a different static
+          trial count;
+        - volume-switch stop (exact, conservative): ``it`` reached
+          ``it_stop``, the host-precomputed iteration two before
+          ``expected_vol`` can cross ``volume_switch`` (reference
+          ``nested.py:330-334``);
+        - expiry proxy stop (conservative by a 10% margin): the f32
+          mirror of the host's 20-entry mean-calls window exceeds
+          ``expiry_thr`` = 0.9 x the f64 expiry threshold — f32 rounding
+          is ~1e-7 relative, so the host's true expiry can never fire
+          while the proxy is below threshold (``nested.py:345-348``);
+        - ``it > max_iters``.
+
+        ``window_vals``/``window_count`` mirror the host's ``ncs`` window
+        as a ring keyed on absolute push index (vals[i % 20]); each
+        generation pushes nc = trials/max(n_ok,1) repeated
+        min(max(n_ok,1),5) times, exactly as the host extends ``ncs``.
+
+        Returns (buffers, meta, n_gens, key_out)."""
+        return self._prior_impls(prior)[2](
+            key,
+            np.asarray(active_u, np.float32),
+            np.asarray(active_logl, np.float32),
+            np.asarray(active_derived, np.float32),
+            np.int32(it), np.int32(max_iters), np.int32(it_stop),
+            np.asarray(window_vals, np.float32), np.int32(window_count),
+            np.float32(expiry_thr), np.int32(trials_target),
+            num_trials=num_trials, max_gens=max_gens,
+            adapt_trials=adapt_trials, can_double=can_double,
+            can_halve=can_halve)
+
+    def _rejection_prior_generations_impl(self, gen_impl, key, active_u,
+                                          active_logl, active_derived,
+                                          it0, max_iters, it_stop,
+                                          window_vals0, window_count0,
+                                          expiry_thr, trials_target, *,
+                                          num_trials, max_gens,
+                                          adapt_trials, can_double,
+                                          can_halve):
+        # close over num_trials: eval_shape would abstract a kwarg int
+        out_sd = jax.eval_shape(
+            lambda k, ls: gen_impl(k, ls, num_trials=num_trials),
+            key, jnp.float32(0.0))
+        names = ('x', 'logl', 'derived', 'ok')
+        bufs0 = {n: jnp.zeros((max_gens,) + tuple(s.shape), s.dtype)
+                 for n, s in zip(names, out_sd)}
+        meta0 = {'start_loglstar': jnp.zeros((max_gens,), jnp.float32),
+                 'start_it': jnp.zeros((max_gens,), jnp.int32)}
+
+        def cond(state):
+            gen, stop = state[5], state[6]
+            return jnp.logical_and(gen < max_gens, jnp.logical_not(stop))
+
+        def body(state):
+            (key, au, al, ad, it, gen, stop, wvals, wcount, bufs,
+             meta) = state
+            key, kgen = tuple(jax.random.split(key))
+            loglstar = jnp.min(al)
+            x, logl, derived, ok = gen_impl(kgen, loglstar,
+                                            num_trials=num_trials)
+            au, al, ad, it2, _ = self._consume_pool(
+                au, al, ad, it, ok, logl, x, derived)
+            bufs = jax.tree.map(
+                lambda b, v: jax.lax.dynamic_update_index_in_dim(
+                    b, v, gen, 0),
+                bufs, {'x': x, 'logl': logl, 'derived': derived, 'ok': ok})
+            meta = {
+                'start_loglstar': jax.lax.dynamic_update_index_in_dim(
+                    meta['start_loglstar'], loglstar, gen, 0),
+                'start_it': jax.lax.dynamic_update_index_in_dim(
+                    meta['start_it'], it, gen, 0)}
+            n_ok = jnp.sum(ok.astype(jnp.int32))
+            # host ladder, replicated in exact integer arithmetic
+            ladder = jnp.asarray(False)
+            if adapt_trials:
+                if can_double:
+                    ladder = jnp.logical_or(ladder,
+                                            n_ok < trials_target // 2)
+                if can_halve:
+                    ladder = jnp.logical_or(ladder,
+                                            n_ok > 2 * trials_target)
+            # host ncs window mirror: nc pushed min(max(n_ok,1),5) times
+            nc = jnp.where(n_ok > 0,
+                           jnp.float32(num_trials)
+                           / jnp.maximum(n_ok, 1).astype(jnp.float32),
+                           jnp.float32(num_trials))
+            push = jnp.minimum(jnp.maximum(n_ok, 1), 5)
+            for j in range(5):
+                do = j < push
+                wvals = jnp.where(
+                    do,
+                    jax.lax.dynamic_update_index_in_dim(
+                        wvals, nc, wcount % 20, 0),
+                    wvals)
+                wcount = wcount + do.astype(jnp.int32)
+            proxy = jnp.where(wcount > 20, jnp.sum(wvals) / 20.0,
+                              jnp.float32(0.0))
+            stop = jnp.logical_or(
+                jnp.logical_or(ladder, proxy > expiry_thr),
+                jnp.logical_or(it2 > max_iters, it2 >= it_stop))
+            return (key, au, al, ad, it2, gen + jnp.int32(1), stop,
+                    wvals, wcount, bufs, meta)
+
+        state0 = (key, active_u, active_logl, active_derived, it0,
+                  jnp.int32(0), jnp.asarray(False), window_vals0,
+                  window_count0, bufs0, meta0)
+        (key_out, _, _, _, _, n_gens, _, _, _, bufs,
+         meta) = jax.lax.while_loop(cond, body, state0)
+        return bufs, meta, n_gens, key_out
 
     # ------------------------------------------------------ rejection/flow
 

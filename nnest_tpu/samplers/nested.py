@@ -124,7 +124,8 @@ class NestedSampler(Sampler):
             rejection_max_trials=65536,
             rejection_adapt_trials=True,
             retrain_nll_threshold=0.5,
-            mcmc_gen_batch=8):
+            mcmc_gen_batch=8,
+            rejection_gen_batch=8):
         if strategy is None or len(strategy) == 0:
             strategy = ['rejection_prior', 'mcmc']
         expired = []
@@ -205,7 +206,8 @@ class NestedSampler(Sampler):
         need_pool = True
         pool = None           # candidate pool: dict of arrays
         pool_pos = 0
-        mcmc_gen_buffer = []  # prefetched MCMC pool generations
+        mcmc_gen_buffer = []   # prefetched MCMC pool generations
+        prior_gen_buffer = []  # prefetched prior-rejection generations
         env_gens = 0          # rejection-flow pool generations since the
         #                       envelope (max_log_det_j / max_r) was computed
         ncs = []
@@ -306,10 +308,79 @@ class NestedSampler(Sampler):
             if current_method in ('rejection_prior', 'rejection_flow',
                                   'density_flow'):
                 if need_pool:
+                    served_from_prefetch = False
                     if current_method == 'rejection_prior':
-                        with self.timers.time('candidate_kernel'):
-                            s, ll, ds, nc = self._rejection_prior_sample(
-                                loglstar, num_trials=cur_trials)
+                        # Multi-generation prefetch (see mcmc branch below
+                        # for the f32-exactness gate rationale). The device
+                        # stops before any generation the host might not
+                        # consume — ladder trigger (exact integers),
+                        # volume-switch crossing (host-precomputed iteration
+                        # bound), mean-calls expiry (conservative f32 proxy
+                        # at 0.9x the threshold) — so the key stream stays
+                        # bit-identical to one dispatch per generation.
+                        use_prior_batch = (self.mesh is None
+                                           and rejection_gen_batch > 1)
+                        if use_prior_batch and not prior_gen_buffer:
+                            al32 = active_logl.astype(np.float32)
+                            use_prior_batch = bool(np.all(
+                                al32.astype(np.float64) == active_logl))
+                            if use_prior_batch:
+                                if volume_switch > 0:
+                                    it_stop = int(np.ceil(
+                                        -self.num_live_points
+                                        * np.log(volume_switch))) - 2
+                                else:
+                                    it_stop = 2 ** 30
+                                thr = (0.9 * mcmc_steps
+                                       if volume_switch < 0
+                                       and valid('mcmc') else
+                                       np.float32(1e30))
+                                max_gens = min(
+                                    rejection_gen_batch,
+                                    max(1, 2 ** 18 // cur_trials))
+                                prior_gen_buffer = [
+                                    g + (cur_trials,) for g in
+                                    self._rejection_prior_generations_batch(
+                                        active_u, active_logl,
+                                        active_derived if
+                                        self.num_derived > 0 else
+                                        np.empty(
+                                            (self.num_live_points, 0)),
+                                        it, max_iters, it_stop, ncs, thr,
+                                        trials_target, cur_trials,
+                                        max_gens, rejection_adapt_trials,
+                                        cur_trials * 2
+                                        <= rejection_max_trials,
+                                        cur_trials
+                                        >= 2 * rejection_batch_size)]
+                        if use_prior_batch and prior_gen_buffer:
+                            (x_g, ll_g, ds_g, ok_g, g_loglstar, g_it,
+                             g_trials) = prior_gen_buffer.pop(0)
+                            if g_it != it or g_loglstar != float(
+                                    np.float32(loglstar)) or \
+                                    g_trials != cur_trials:
+                                raise RuntimeError(
+                                    'prior generation prefetch desync: '
+                                    'device (it=%d, loglstar=%r, '
+                                    'trials=%d) vs host (it=%d, '
+                                    'loglstar=%r, trials=%d)' % (
+                                        g_it, g_loglstar, g_trials, it,
+                                        float(np.float32(loglstar)),
+                                        cur_trials))
+                            ok_g = np.asarray(ok_g)
+                            self.total_calls += g_trials
+                            n_ok_g = int(ok_g.sum())
+                            nc = (g_trials / max(n_ok_g, 1)
+                                  if n_ok_g > 0 else g_trials)
+                            s = np.asarray(x_g)[ok_g]
+                            ll = np.asarray(ll_g, dtype=np.float64)[ok_g]
+                            ds = np.asarray(ds_g, dtype=np.float64)[ok_g]
+                            served_from_prefetch = True
+                        else:
+                            with self.timers.time('candidate_kernel'):
+                                s, ll, ds, nc = \
+                                    self._rejection_prior_sample(
+                                        loglstar, num_trials=cur_trials)
                     elif current_method == 'rejection_flow':
                         # Recompute the envelope whenever the flow has been
                         # retrained since it was last computed (invalidated
@@ -366,6 +437,21 @@ class NestedSampler(Sampler):
                             'method' % current_method)
                         expired.append(current_method)
                         ncs = []
+
+                    # The device's stop rules guarantee the prefetch never
+                    # outruns a ladder change or strategy expiry; a
+                    # leftover buffer here means its key splits were
+                    # consumed for generations the true sequence would
+                    # have run differently — fail loudly rather than
+                    # silently break bit-reproducibility.
+                    if served_from_prefetch and prior_gen_buffer and (
+                            switch or prior_gen_buffer[0][6] != cur_trials):
+                        raise RuntimeError(
+                            'prior generation prefetch outran a '
+                            'ladder/expiry decision (switch=%s, trials '
+                            '%d -> %d)' % (switch,
+                                           prior_gen_buffer[0][6],
+                                           cur_trials))
 
                     pool = {'u': s, 'logl': ll, 'derived': ds}
                     pool_pos = 0
@@ -481,8 +567,14 @@ class NestedSampler(Sampler):
                 it += 1
 
                 if self.single_or_primary_process:
-                    # thread-safe vs the async triptych render thread
-                    self.trainer.log_scalar('logz', logz, it)
+                    # per-acceptance TensorBoard scalar: ~1 call per
+                    # iteration; rides the serial IO worker (log_scalar is
+                    # lock-guarded, so this is safe vs the triptych render
+                    # thread too) to keep proto/serialization work off the
+                    # sampling loop.
+                    _logz_now, _it_now = float(logz), it
+                    self._submit_io(lambda: self.trainer.log_scalar(
+                        'logz', _logz_now, _it_now))
 
                 if it > 0 and it % log_interval == 0 and \
                         self.single_or_primary_process:

@@ -348,3 +348,53 @@ def test_mcmc_pool_generations_match_sequential(gauss_setup):
     np.testing.assert_array_equal(
         np.asarray(jax.random.key_data(key_out)),
         np.asarray(jax.random.key_data(ckey)))
+
+
+def test_rejection_prior_generations_match_sequential(gauss_setup):
+    """The multi-generation prior-rejection kernel is bit-identical to
+    dispatching ``rejection_prior`` once per pool generation with host
+    consumption between: same key split order, same trial buffers, and
+    the ladder stop fires exactly where the host's integer controller
+    would change the trial count."""
+    from nnest_tpu.priors import UniformPrior
+    model, params, kern, like_fn = gauss_setup
+    prior = UniformPrior(2, -1.0, 1.0)
+    rs = np.random.RandomState(17)
+    au = rs.uniform(-0.9, 0.9, size=(60, 2)).astype(np.float32)
+    al = np.asarray(like_fn(jnp.asarray(au))[0], np.float32)
+    ad = np.zeros((60, 0), np.float32)
+    key = jax.random.PRNGKey(9)
+    trials, max_gens, target = 64, 5, 16
+
+    bufs, meta, n_gens, key_out = kern.rejection_prior_generations(
+        prior, key, au, al, ad, 2, 10**6, 2**30,
+        np.zeros(20, np.float32), 0, np.float32(1e30), target,
+        num_trials=trials, max_gens=max_gens, adapt_trials=True,
+        can_double=True, can_halve=False)
+    bufs, meta, n_gens = jax.device_get((bufs, meta, n_gens))
+
+    cau, cal, cad = au.copy(), al.copy(), ad.copy()
+    ckey, it, ladder = key, 2, False
+    for g in range(int(n_gens)):
+        assert not ladder  # device must stop after a ladder trigger
+        ckey, kgen = jax.random.split(ckey)
+        loglstar = float(cal.min())
+        assert float(meta['start_loglstar'][g]) == np.float32(loglstar)
+        assert int(meta['start_it'][g]) == it
+        x, logl, derived, ok = jax.device_get(kern.rejection_prior(
+            prior, kgen, loglstar, trials))
+        np.testing.assert_array_equal(bufs['x'][g], x)
+        np.testing.assert_array_equal(bufs['logl'][g], logl)
+        np.testing.assert_array_equal(bufs['ok'][g], ok)
+        n_ok = int(np.asarray(ok).sum())
+        ladder = n_ok < target // 2  # can_double=True, can_halve=False
+        for i in range(trials):
+            if ok[i] and logl[i] > cal.min():
+                w = int(np.argmin(cal))
+                cau[w] = x[i]
+                cal[w] = logl[i]
+                it += 1
+    assert ladder or int(n_gens) == max_gens
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(key_out)),
+        np.asarray(jax.random.key_data(ckey)))

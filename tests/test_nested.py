@@ -243,3 +243,38 @@ def test_mcmc_gen_batch_bit_identical_derived(tmp_path):
                           np.asarray(s.samples))
     assert results[1][:3] == results[8][:3]
     np.testing.assert_array_equal(results[1][3], results[8][3])
+
+
+def test_rejection_gen_batch_bit_identical(tmp_path):
+    """Multi-generation prior-rejection prefetch (rejection_gen_batch=8,
+    the default) is bit-identical end-to-end to one dispatch per pool
+    generation, across ladder doublings and the volume/efficiency
+    switches into MCMC."""
+    like = Gaussian(2, 0.0, lim=3)
+    results = {}
+    for batch in (1, 8):
+        s = NestedSampler(2, like, transform=lambda x: 3 * x,
+                          num_live_points=100,
+                          log_dir=str(tmp_path / ('r%d' % batch)),
+                          resume=False, seed=5)
+        s.run(train_iters=50, dlogz=0.5, mcmc_num_chains=10,
+              mcmc_steps=20, rejection_gen_batch=batch)
+        results[batch] = (s.logz, s.logzerr, s.total_calls)
+    assert results[1] == results[8]
+
+
+def test_rejection_gen_batch_volume_switch_bit_identical(tmp_path):
+    """Same A/B with an explicit volume_switch: the device's conservative
+    iteration bound must hand over to the host exactly at the crossing."""
+    like = Gaussian(2, 0.0, lim=3)
+    results = {}
+    for batch in (1, 8):
+        s = NestedSampler(2, like, transform=lambda x: 3 * x,
+                          num_live_points=100,
+                          log_dir=str(tmp_path / ('v%d' % batch)),
+                          resume=False, seed=6)
+        s.run(train_iters=50, dlogz=0.5, volume_switch=0.4,
+              mcmc_num_chains=10, mcmc_steps=20,
+              rejection_gen_batch=batch)
+        results[batch] = (s.logz, s.logzerr, s.total_calls)
+    assert results[1] == results[8]
