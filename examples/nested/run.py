@@ -64,7 +64,9 @@ def main(args):
                 mcmc_dynamic_step_size=not args.mcmc_fixed_step_size,
                 strategy=args.strategy.split(',') if args.strategy else None,
                 dlogz=args.dlogz,
-                rejection_batch_size=args.rejection_batch_size)
+                rejection_batch_size=args.rejection_batch_size,
+                mcmc_gen_batch=args.mcmc_gen_batch,
+                rejection_gen_batch=args.rejection_gen_batch)
     print('Run time %s' % datetime.timedelta(seconds=time.time() - start))
     print('logz %.3f +/- %.3f (ncall %d)' % (
         sampler.logz, sampler.logzerr, sampler.total_calls))
@@ -95,5 +97,9 @@ if __name__ == '__main__':
     parser.add_argument('--strategy', type=str, default='')
     parser.add_argument('--dlogz', type=float, default=0.5)
     parser.add_argument('--rejection_batch_size', type=int, default=512)
+    # generations prefetched per dispatch (1 = one dispatch per pool
+    # generation; results are bit-identical either way)
+    parser.add_argument('--mcmc_gen_batch', type=int, default=8)
+    parser.add_argument('--rejection_gen_batch', type=int, default=8)
     parser.add_argument('--seed', type=int, default=0)
     main(parser.parse_args())

@@ -742,6 +742,52 @@ class Sampler:
                          int(meta['start_it'][g])))
         return gens
 
+    def _rejection_flow_generations_batch(self, active_u, active_logl,
+                                          active_derived, it, max_iters,
+                                          update_interval, ncs,
+                                          expiry_thr, trials_target,
+                                          env_valid, env_gens,
+                                          max_log_det_j, max_r,
+                                          cache_interval,
+                                          enlargement_factor,
+                                          draw_enlargement, num_trials,
+                                          max_gens, adapt_trials,
+                                          can_double, can_halve):
+        """Flow-phase analogue of ``_rejection_prior_generations_batch``
+        (see there): one dispatch + one batched pull for up to
+        ``max_gens`` flow-rejection generations, with the Jacobian
+        envelope cache carried on device. Returns a list of
+        (x, logl, derived, ok, n_evals, mld, mr, start_loglstar,
+        start_it) per generation actually run."""
+        self.trainer.ensure_init()
+        window_vals = np.zeros(20, np.float32)
+        count = len(ncs)
+        for idx in range(max(0, count - 20), count):
+            window_vals[idx % 20] = np.float32(ncs[idx])
+        key = self._key
+        with self.timers.time('candidate_kernel'):
+            bufs, meta, n_gens, key_out = \
+                self.kernels.rejection_flow_generations(
+                    self.trainer.params, key, active_u, active_logl,
+                    active_derived, it, max_iters, update_interval,
+                    window_vals, count, expiry_thr, trials_target,
+                    env_valid, env_gens, max_log_det_j, max_r,
+                    cache_interval, enlargement_factor, draw_enlargement,
+                    num_trials=num_trials, max_gens=max_gens,
+                    adapt_trials=adapt_trials, can_double=can_double,
+                    can_halve=can_halve)
+            self._key = key_out
+            bufs, meta, n_gens = self._fetch_all((bufs, meta, n_gens))
+        gens = []
+        for g in range(int(n_gens)):
+            gens.append((bufs['x'][g], bufs['logl'][g],
+                         bufs['derived'][g], bufs['ok'][g],
+                         int(bufs['n_evals'][g]), float(bufs['mld'][g]),
+                         float(bufs['mr'][g]),
+                         float(meta['start_loglstar'][g]),
+                         int(meta['start_it'][g])))
+        return gens
+
     def _rejection_flow_sample(self,
                                init_samples,
                                loglstar,

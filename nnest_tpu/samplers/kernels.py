@@ -142,6 +142,10 @@ class LatentKernels:
         self._rejection_flow_live = jax.jit(
             self._rejection_flow_live_impl,
             static_argnames=('num_trials', 'use_usample'))
+        self._rejection_flow_gens = jax.jit(
+            self._rejection_flow_generations_impl,
+            static_argnames=('num_trials', 'max_gens', 'use_usample',
+                             'adapt_trials', 'can_double', 'can_halve'))
         self._density = jax.jit(self._density_impl,
                                 static_argnames=('num_trials',))
         self._envelope = jax.jit(self._envelope_impl)
@@ -824,6 +828,150 @@ class LatentKernels:
             params, key, loglstar, mld, mr, draw_enlargement,
             num_trials=num_trials, use_usample=use_usample)
         return out + (mld, mr)
+
+    def rejection_flow_generations(self, params, key, active_u,
+                                   active_logl, active_derived, it,
+                                   max_iters, update_interval,
+                                   window_vals, window_count, expiry_thr,
+                                   trials_target, env_valid, env_gens,
+                                   max_log_det_j, max_r, cache_interval,
+                                   enlargement_factor, draw_enlargement, *,
+                                   num_trials, max_gens, adapt_trials,
+                                   can_double, can_halve):
+        """Run up to ``max_gens`` flow-rejection pool generations in ONE
+        dispatch — the flow-phase analogue of
+        ``rejection_prior_generations`` plus the Jacobian-envelope cache
+        machinery (reference ``sampler.py:555-560``): per generation the
+        envelope is recomputed from the device-tracked live set and either
+        max-folded into the carried maxima or replaces them outright on
+        the ``cache_interval`` cadence (exact integer counter, identical
+        to the host's ``env_gens`` bookkeeping). Stop rules are the
+        prior-phase set (integer ladder, f32 expiry proxy at 0.9x,
+        ``it > max_iters``) plus the ``update_interval`` boundary crossing
+        — flow mode retrains there, which invalidates both the flow
+        params and the envelope, so no later generation may be prefetched.
+
+        Returns (buffers, meta, n_gens, key_out); buffers include the
+        per-generation ``n_evals`` (masked likelihood-call count, the
+        host's ncall currency) and the updated envelope (mld, mr) so the
+        host cache stays bit-identical on replay."""
+        use_usample = getattr(self.model.base_dist, 'has_usample', False)
+        return self._rejection_flow_gens(
+            params, key,
+            np.asarray(active_u, np.float32),
+            np.asarray(active_logl, np.float32),
+            np.asarray(active_derived, np.float32),
+            np.int32(it), np.int32(max_iters), np.int32(update_interval),
+            np.asarray(window_vals, np.float32), np.int32(window_count),
+            np.float32(expiry_thr), np.int32(trials_target),
+            np.bool_(env_valid), np.int32(env_gens),
+            np.float32(max_log_det_j), np.float32(max_r),
+            np.int32(cache_interval), np.float32(enlargement_factor),
+            np.float32(draw_enlargement), num_trials=num_trials,
+            max_gens=max_gens, use_usample=use_usample,
+            adapt_trials=adapt_trials, can_double=can_double,
+            can_halve=can_halve)
+
+    def _rejection_flow_generations_impl(self, params, key, active_u,
+                                         active_logl, active_derived, it0,
+                                         max_iters, update_interval,
+                                         window_vals0, window_count0,
+                                         expiry_thr, trials_target,
+                                         env_valid0, env_gens0, mld0, mr0,
+                                         cache_interval,
+                                         enlargement_factor,
+                                         draw_enlargement, *, num_trials,
+                                         max_gens, use_usample,
+                                         adapt_trials, can_double,
+                                         can_halve):
+        def draw(k, loglstar, mld, mr):
+            return self._rejection_flow_impl(
+                params, k, loglstar, mld, mr, draw_enlargement,
+                num_trials=num_trials, use_usample=use_usample)
+
+        out_sd = jax.eval_shape(
+            lambda k, ls: draw(k, ls, jnp.float32(0.0), jnp.float32(1.0)),
+            key, jnp.float32(0.0))
+        names = ('x', 'logl', 'derived', 'ok', 'n_evals')
+        bufs0 = {n: jnp.zeros((max_gens,) + tuple(s.shape), s.dtype)
+                 for n, s in zip(names, out_sd)}
+        bufs0['mld'] = jnp.zeros((max_gens,), jnp.float32)
+        bufs0['mr'] = jnp.zeros((max_gens,), jnp.float32)
+        meta0 = {'start_loglstar': jnp.zeros((max_gens,), jnp.float32),
+                 'start_it': jnp.zeros((max_gens,), jnp.int32)}
+
+        def cond(state):
+            gen, stop = state[5], state[6]
+            return jnp.logical_and(gen < max_gens, jnp.logical_not(stop))
+
+        def body(state):
+            (key, au, al, ad, it, gen, stop, wvals, wcount, env_valid,
+             env_gens, mld, mr, bufs, meta) = state
+            key, kgen = tuple(jax.random.split(key))
+            loglstar = jnp.min(al)
+            # envelope cache: replace on cadence/invalidation, else fold
+            # (host: _rejection_flow_sample + nested.py env_gens counter)
+            recompute = jnp.logical_or(jnp.logical_not(env_valid),
+                                       env_gens >= cache_interval)
+            mld_new, mr_new = self._envelope_impl(params, au,
+                                                  enlargement_factor)
+            mld = jnp.where(recompute, mld_new, jnp.maximum(mld, mld_new))
+            mr = jnp.where(recompute, mr_new, jnp.maximum(mr, mr_new))
+            env_gens = jnp.where(recompute, jnp.int32(0), env_gens + 1)
+            env_valid = jnp.asarray(True)
+            x, logl, derived, ok, n_evals = draw(kgen, loglstar, mld, mr)
+            au, al, ad, it2, crossed = self._consume_pool(
+                au, al, ad, it, ok, logl, x, derived,
+                update_interval=update_interval)
+            bufs = jax.tree.map(
+                lambda b, v: jax.lax.dynamic_update_index_in_dim(
+                    b, v, gen, 0),
+                bufs, {'x': x, 'logl': logl, 'derived': derived, 'ok': ok,
+                       'n_evals': n_evals, 'mld': mld, 'mr': mr})
+            meta = {
+                'start_loglstar': jax.lax.dynamic_update_index_in_dim(
+                    meta['start_loglstar'], loglstar, gen, 0),
+                'start_it': jax.lax.dynamic_update_index_in_dim(
+                    meta['start_it'], it, gen, 0)}
+            n_ok = jnp.sum(ok.astype(jnp.int32))
+            ladder = jnp.asarray(False)
+            if adapt_trials:
+                if can_double:
+                    ladder = jnp.logical_or(ladder,
+                                            n_ok < trials_target // 2)
+                if can_halve:
+                    ladder = jnp.logical_or(ladder,
+                                            n_ok > 2 * trials_target)
+            nev_f = n_evals.astype(jnp.float32)
+            nc = jnp.where(n_ok > 0,
+                           nev_f / jnp.maximum(n_ok, 1).astype(jnp.float32),
+                           jnp.maximum(nev_f, 1.0))
+            push = jnp.minimum(jnp.maximum(n_ok, 1), 5)
+            for j in range(5):
+                do = j < push
+                wvals = jnp.where(
+                    do,
+                    jax.lax.dynamic_update_index_in_dim(
+                        wvals, nc, wcount % 20, 0),
+                    wvals)
+                wcount = wcount + do.astype(jnp.int32)
+            proxy = jnp.where(wcount > 20, jnp.sum(wvals) / 20.0,
+                              jnp.float32(0.0))
+            stop = jnp.logical_or(
+                jnp.logical_or(ladder, proxy > expiry_thr),
+                jnp.logical_or(crossed, it2 > max_iters))
+            return (key, au, al, ad, it2, gen + jnp.int32(1), stop,
+                    wvals, wcount, env_valid, env_gens, mld, mr, bufs,
+                    meta)
+
+        state0 = (key, active_u, active_logl, active_derived, it0,
+                  jnp.int32(0), jnp.asarray(False), window_vals0,
+                  window_count0, env_valid0, env_gens0, mld0, mr0, bufs0,
+                  meta0)
+        out_state = jax.lax.while_loop(cond, body, state0)
+        key_out, n_gens = out_state[0], out_state[5]
+        bufs, meta = out_state[13], out_state[14]
+        return bufs, meta, n_gens, key_out
 
     def _rejection_flow_impl(self, params, key, loglstar, max_log_det_j,
                              max_r, enlargement_factor, *, num_trials,

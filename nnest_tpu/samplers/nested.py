@@ -208,6 +208,7 @@ class NestedSampler(Sampler):
         pool_pos = 0
         mcmc_gen_buffer = []   # prefetched MCMC pool generations
         prior_gen_buffer = []  # prefetched prior-rejection generations
+        flow_gen_buffer = []   # prefetched flow-rejection generations
         env_gens = 0          # rejection-flow pool generations since the
         #                       envelope (max_log_det_j / max_r) was computed
         ncs = []
@@ -390,13 +391,85 @@ class NestedSampler(Sampler):
                         # leave a stale envelope in place across retrains.
                         recompute = (self._max_log_det_j is None
                                      or env_gens >= rejection_cache_interval)
-                        with self.timers.time('candidate_kernel'):
-                            s, ll, ds, nc = self._rejection_flow_sample(
-                                active_u.astype(np.float32), loglstar,
-                                enlargement_factor=(
-                                    rejection_enlargement_factor),
-                                cache=not recompute,
-                                num_trials=cur_trials)
+                        # Multi-generation prefetch (see prior branch): the
+                        # envelope cache rides the device between
+                        # generations; the update_interval crossing stop
+                        # guarantees no prefetched generation can span a
+                        # retrain (which invalidates flow AND envelope).
+                        use_flow_batch = (self.mesh is None
+                                          and rejection_gen_batch > 1)
+                        if use_flow_batch and not flow_gen_buffer:
+                            al32 = active_logl.astype(np.float32)
+                            use_flow_batch = bool(np.all(
+                                al32.astype(np.float64) == active_logl))
+                            if use_flow_batch:
+                                thr = (0.9 * mcmc_steps if valid('mcmc')
+                                       else np.float32(1e30))
+                                max_gens = min(
+                                    rejection_gen_batch,
+                                    max(1, 2 ** 18 // cur_trials))
+                                flow_gen_buffer = [
+                                    g + (cur_trials,) for g in
+                                    self._rejection_flow_generations_batch(
+                                        active_u.astype(np.float32),
+                                        active_logl,
+                                        active_derived if
+                                        self.num_derived > 0 else
+                                        np.empty(
+                                            (self.num_live_points, 0)),
+                                        it, max_iters, update_interval,
+                                        ncs, thr, trials_target,
+                                        self._max_log_det_j is not None,
+                                        env_gens,
+                                        (self._max_log_det_j
+                                         if self._max_log_det_j is not None
+                                         else 0.0),
+                                        (self._max_r
+                                         if self._max_r is not None
+                                         else 0.0),
+                                        rejection_cache_interval,
+                                        rejection_enlargement_factor,
+                                        rejection_enlargement_factor,
+                                        cur_trials, max_gens,
+                                        rejection_adapt_trials,
+                                        cur_trials * 2
+                                        <= rejection_max_trials,
+                                        cur_trials
+                                        >= 2 * rejection_batch_size)]
+                        if use_flow_batch and flow_gen_buffer:
+                            (x_g, ll_g, ds_g, ok_g, nev_g, mld_g, mr_g,
+                             g_loglstar, g_it,
+                             g_trials) = flow_gen_buffer.pop(0)
+                            if g_it != it or g_loglstar != float(
+                                    np.float32(loglstar)) or \
+                                    g_trials != cur_trials:
+                                raise RuntimeError(
+                                    'flow generation prefetch desync: '
+                                    'device (it=%d, loglstar=%r, '
+                                    'trials=%d) vs host (it=%d, '
+                                    'loglstar=%r, trials=%d)' % (
+                                        g_it, g_loglstar, g_trials, it,
+                                        float(np.float32(loglstar)),
+                                        cur_trials))
+                            self._max_log_det_j = mld_g
+                            self._max_r = mr_g
+                            ok_g = np.asarray(ok_g)
+                            self.total_calls += nev_g
+                            n_ok_g = int(ok_g.sum())
+                            nc = (nev_g / max(n_ok_g, 1) if n_ok_g > 0
+                                  else max(nev_g, 1))
+                            s = np.asarray(x_g)[ok_g]
+                            ll = np.asarray(ll_g, dtype=np.float64)[ok_g]
+                            ds = np.asarray(ds_g, dtype=np.float64)[ok_g]
+                            served_from_prefetch = True
+                        else:
+                            with self.timers.time('candidate_kernel'):
+                                s, ll, ds, nc = self._rejection_flow_sample(
+                                    active_u.astype(np.float32), loglstar,
+                                    enlargement_factor=(
+                                        rejection_enlargement_factor),
+                                    cache=not recompute,
+                                    num_trials=cur_trials)
                         env_gens = 0 if recompute else env_gens + 1
                     else:
                         with self.timers.time('candidate_kernel'):
@@ -444,13 +517,13 @@ class NestedSampler(Sampler):
                     # consumed for generations the true sequence would
                     # have run differently — fail loudly rather than
                     # silently break bit-reproducibility.
-                    if served_from_prefetch and prior_gen_buffer and (
-                            switch or prior_gen_buffer[0][6] != cur_trials):
+                    leftover = prior_gen_buffer or flow_gen_buffer
+                    if served_from_prefetch and leftover and (
+                            switch or leftover[0][-1] != cur_trials):
                         raise RuntimeError(
-                            'prior generation prefetch outran a '
+                            'rejection generation prefetch outran a '
                             'ladder/expiry decision (switch=%s, trials '
-                            '%d -> %d)' % (switch,
-                                           prior_gen_buffer[0][6],
+                            '%d -> %d)' % (switch, leftover[0][-1],
                                            cur_trials))
 
                     pool = {'u': s, 'logl': ll, 'derived': ds}

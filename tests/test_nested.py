@@ -278,3 +278,23 @@ def test_rejection_gen_batch_volume_switch_bit_identical(tmp_path):
               rejection_gen_batch=batch)
         results[batch] = (s.logz, s.logzerr, s.total_calls)
     assert results[1] == results[8]
+
+
+def test_flow_gen_batch_bit_identical(tmp_path):
+    """Multi-generation flow-rejection prefetch is bit-identical to one
+    dispatch per generation across the full strategy ladder (prior ->
+    flow -> mcmc), including the device-carried envelope cache and its
+    recompute cadence."""
+    like = Gaussian(2, 0.0, lim=3)
+    results = {}
+    for batch in (1, 8):
+        s = NestedSampler(2, like, transform=lambda x: 3 * x,
+                          num_live_points=100,
+                          log_dir=str(tmp_path / ('f%d' % batch)),
+                          resume=False, seed=8)
+        s.run(strategy=['rejection_prior', 'rejection_flow', 'mcmc'],
+              train_iters=50, dlogz=0.5, volume_switch=0.5,
+              mcmc_num_chains=10, mcmc_steps=20,
+              rejection_gen_batch=batch, mcmc_gen_batch=batch)
+        results[batch] = (s.logz, s.logzerr, s.total_calls)
+    assert results[1] == results[8]
