@@ -19,13 +19,41 @@ from __future__ import annotations
 import os
 
 
+def _host_fingerprint():
+    """Stable fingerprint of this host's CPU feature set.
+
+    XLA:CPU executables are AOT-compiled for the build machine's exact
+    feature flags and hard-abort (SIGILL-class) when *loaded* on a host
+    missing one — the cache key does not include machine features, so a
+    shared cache directory reused across heterogeneous hosts serves
+    poison (observed: ``Fatal Python error: Aborted`` inside
+    ``compilation_cache.get_executable_and_time`` after a session moved
+    machines, preceded by 'Target machine feature +prefer-no-scatter is
+    not supported on the host machine' load warnings). CPU caches are
+    therefore segregated per feature-set; device (TPU) executables are
+    backend-serialized and unaffected."""
+    import hashlib
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith('flags'):
+                    flags = ' '.join(sorted(line.split(':', 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(cache_dir=None):
     """Idempotently enable JAX's persistent compilation cache.
 
     Respects an existing user setting (``jax_compilation_cache_dir`` config
     or ``JAX_COMPILATION_CACHE_DIR`` env). Opt out entirely with
     ``NNEST_TPU_NO_CACHE=1``. Default directory:
-    ``$NNEST_TPU_CACHE_DIR`` or ``~/.cache/nnest_tpu_jax``.
+    ``$NNEST_TPU_CACHE_DIR`` or ``~/.cache/nnest_tpu_jax``, with CPU
+    backends segregated into a per-host-feature-set subdirectory (see
+    ``_host_fingerprint``).
     """
     if os.environ.get('NNEST_TPU_NO_CACHE'):
         return None
@@ -40,6 +68,12 @@ def enable_compilation_cache(cache_dir=None):
                  or os.environ.get('NNEST_TPU_CACHE_DIR')
                  or os.path.join(os.path.expanduser('~'), '.cache',
                                  'nnest_tpu_jax'))
+    try:
+        if jax.default_backend() == 'cpu':
+            cache_dir = os.path.join(cache_dir,
+                                     'cpu-%s' % _host_fingerprint())
+    except Exception:
+        pass
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
