@@ -20,3 +20,23 @@ if '--xla_force_host_platform_device_count' not in flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope='module')
+def _clear_jax_caches_per_module():
+    """Bound XLA:CPU native state across the suite.
+
+    Full-suite runs (~140 tests, hundreds of compiled programs in one
+    process) hard-crashed (SIGSEGV/SIGABRT) in XLA:CPU native code —
+    sometimes during a compile, sometimes during a compile-cache read —
+    always once enough programs had accumulated; every half-suite subset
+    passes. Dropping jax's in-process executable caches between modules
+    keeps the native footprint bounded; recompiles are served from the
+    persistent compile cache, so the cost is small.
+    """
+    yield
+    import jax
+    jax.clear_caches()
