@@ -31,18 +31,35 @@ def _host_fingerprint():
     machines, preceded by 'Target machine feature +prefer-no-scatter is
     not supported on the host machine' load warnings). CPU caches are
     therefore segregated per feature-set; device (TPU) executables are
-    backend-serialized and unaffected."""
+    backend-serialized and unaffected.
+
+    The fingerprint must include the CPU *model identity* (family/model/
+    stepping/model name), not just the ISA ``flags`` line: LLVM derives
+    tuning features such as ``prefer-no-scatter``/``prefer-no-gather``
+    from the detected -mcpu (model), so two hosts with identical cpuinfo
+    flags can still produce mutually unloadable AOT executables (observed:
+    a flags-only fingerprint collided across such a pair and the poison
+    load errors returned)."""
     import hashlib
+    ident = []
     try:
         with open('/proc/cpuinfo') as f:
             for line in f:
-                if line.startswith('flags'):
-                    flags = ' '.join(sorted(line.split(':', 1)[1].split()))
-                    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+                key = line.split(':', 1)[0].strip()
+                if key in ('vendor_id', 'cpu family', 'model',
+                           'model name', 'stepping'):
+                    ident.append(line.strip())
+                elif key == 'flags':
+                    ident.append(
+                        ' '.join(sorted(line.split(':', 1)[1].split())))
+                if key == 'power management':  # end of first CPU block
+                    break
     except OSError:
         pass
-    import platform
-    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+    if not ident:
+        import platform
+        ident = [platform.processor()]
+    return hashlib.sha1('\n'.join(ident).encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(cache_dir=None):
