@@ -292,6 +292,15 @@ class Sampler:
         if self._io_writer is not None:
             self._io_writer.drain()
 
+    def _close_io(self):
+        """Drain and release the background writer thread (run end:
+        seed-sweep processes build one sampler per run and would
+        otherwise leak one idle daemon thread each). A later run() on
+        this instance lazily recreates the writer."""
+        if self._io_writer is not None:
+            writer, self._io_writer = self._io_writer, None
+            writer.close()
+
     def _join_plots(self):
         """Join any in-flight async diagnostic render before main-thread
         matplotlib work or before declaring run artifacts complete.

@@ -645,9 +645,12 @@ class NestedSampler(Sampler):
                     # lock-guarded, so this is safe vs the triptych render
                     # thread too) to keep proto/serialization work off the
                     # sampling loop.
-                    _logz_now, _it_now = float(logz), it
-                    self._submit_io(lambda: self.trainer.log_scalar(
-                        'logz', _logz_now, _it_now))
+                    # default-arg binding: the worker may run this lambda
+                    # many acceptances later, after these frame locals
+                    # have been rebound — free-variable capture would log
+                    # runs of duplicated latest values
+                    self._submit_io(lambda v=float(logz), s=it:
+                                    self.trainer.log_scalar('logz', v, s))
 
                 if it > 0 and it % log_interval == 0 and \
                         self.single_or_primary_process:
@@ -709,7 +712,7 @@ class NestedSampler(Sampler):
         # complete
         self._join_plots()
         with self.timers.time('checkpoint_io'):
-            self._drain_io()
+            self._close_io()
 
         self.logz = logz
         self.h = h

@@ -45,20 +45,24 @@ def _host_fingerprint():
     try:
         with open('/proc/cpuinfo') as f:
             for line in f:
+                if not line.strip():   # end of first CPU block: the
+                    break              # remaining blocks repeat it per core
                 key = line.split(':', 1)[0].strip()
+                # x86 model identity + ARM equivalents (CPU implementer/
+                # part/variant/revision + Features)
                 if key in ('vendor_id', 'cpu family', 'model',
-                           'model name', 'stepping'):
+                           'model name', 'stepping', 'CPU implementer',
+                           'CPU architecture', 'CPU variant', 'CPU part',
+                           'CPU revision'):
                     ident.append(line.strip())
-                elif key == 'flags':
+                elif key in ('flags', 'Features'):
                     ident.append(
                         ' '.join(sorted(line.split(':', 1)[1].split())))
-                if key == 'power management':  # end of first CPU block
-                    break
     except OSError:
         pass
     if not ident:
         import platform
-        ident = [platform.processor()]
+        ident = ['%s|%s' % (platform.machine(), platform.processor())]
     return hashlib.sha1('\n'.join(ident).encode()).hexdigest()[:12]
 
 

@@ -34,15 +34,33 @@ class SerialWriter:
         while True:
             job = self._q.get()
             try:
+                if job is self._STOP:
+                    return
                 if job is not None:
                     job()
             except BaseException as e:  # surfaced on next drain()
-                self._exc = e
-            finally:
-                self._q.task_done()
+                if self._exc is None:   # keep the FIRST failure: later
+                    self._exc = e       # jobs often fail as side effects
+            finally:                    # of the root cause (ENOSPC, a
+                self._q.task_done()     # closed writer, ...)
 
     def submit(self, job):
         self._q.put(job)
+
+    _STOP = object()
+
+    def close(self):
+        """Drain, stop the worker thread, and re-raise any failure.
+        The thread is stopped even when drain re-raises (error paths
+        must not leak it). Long-lived processes that build many samplers
+        (seed sweeps) call this at run end so each sampler's thread is
+        released instead of leaking one blocked daemon thread per
+        instance."""
+        try:
+            self.drain()
+        finally:
+            self._q.put(self._STOP)
+            self._t.join()
 
     def drain(self):
         """Block until all queued jobs completed; re-raise the first
