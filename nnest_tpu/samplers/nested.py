@@ -169,12 +169,15 @@ class NestedSampler(Sampler):
         # writes in flight — they must be on disk before we read them.
         self._drain_io()
         state = self._load_checkpoint()
+        controller = None
         if state is not None:
             (it, active_u, active_v, active_logl, active_derived, saved_v,
              saved_logl, saved_logwt, logz, h, logvol, fraction_remain,
-             strategy, expired) = state
+             strategy, expired, controller) = state
             if self.single_or_primary_process:
-                self.logger.info('Resumed from checkpoint [%d]' % it)
+                self.logger.info('Resumed from checkpoint [%d]%s' % (
+                    it, ' (bit-exact)' if controller
+                        and controller.get('aligned') else ''))
         else:
             active_u = np.asarray(self.sample_prior(self.num_live_points),
                                   dtype=np.float64)
@@ -229,6 +232,57 @@ class NestedSampler(Sampler):
         cur_trials = int(rejection_batch_size)
         trials_target = max(16, self.num_live_points // 8)
         last_io_it = it      # iteration of the last checkpoint/chain write
+        io_due = False       # a checkpoint is owed at the next aligned
+        #                      (pool + prefetch buffers empty) moment
+
+        if controller:
+            # Bit-exact resume: restore the proposal/ladder/envelope
+            # controller exactly as the uninterrupted run would have had
+            # it. Aligned checkpoints (pool + prefetch buffers empty at
+            # write time) additionally guarantee the saved PRNG key is
+            # positioned exactly at the next dispatch, so the resumed
+            # run's candidate stream — and hence final logz/h/ncall —
+            # is bit-identical to the uninterrupted continuation.
+            mcmc_scale = float(controller.get('mcmc_scale', mcmc_scale))
+            cur_trials = int(controller.get('cur_trials', cur_trials))
+            nw = [float(x) for x in controller.get('ncs_tail', [])]
+            nc_count = int(controller.get('ncs_count', len(nw)))
+            # device ring mirrors use len(ncs) for phase + the >20 gate:
+            # zero-pad to the true count (only the last 20 enter means)
+            ncs = [0.0] * max(0, nc_count - len(nw)) + nw
+            mean_calls = float(controller.get('mean_calls', mean_calls))
+            env_gens = int(controller.get('env_gens', env_gens))
+            if controller.get('max_log_det_j') is not None:
+                self._max_log_det_j = float(controller['max_log_det_j'])
+                self._max_r = float(controller.get('max_r', 0.0))
+            first_time = bool(controller.get('first_time', first_time))
+            last_trained_it = int(controller.get('last_trained_it',
+                                                 last_trained_it))
+            self.total_accepted = int(controller.get('total_accepted',
+                                                     self.total_accepted))
+            self.total_rejected = int(controller.get('total_rejected',
+                                                     self.total_rejected))
+            last_io_it = int(controller.get('last_io_it', last_io_it))
+
+        def controller_snapshot(aligned):
+            return {
+                'aligned': bool(aligned),
+                'mcmc_scale': float(mcmc_scale),
+                'cur_trials': int(cur_trials),
+                'ncs_tail': [float(x) for x in ncs[-20:]],
+                'ncs_count': len(ncs),
+                'mean_calls': float(mean_calls),
+                'env_gens': int(env_gens),
+                'max_log_det_j': (None if self._max_log_det_j is None
+                                  else float(self._max_log_det_j)),
+                'max_r': (None if self._max_r is None
+                          else float(self._max_r)),
+                'first_time': bool(first_time),
+                'last_trained_it': int(last_trained_it),
+                'total_accepted': int(self.total_accepted),
+                'total_rejected': int(self.total_rejected),
+                'last_io_it': int(last_io_it),
+            }
 
         while fraction_remain > dlogz and it <= max_iters:
 
@@ -321,7 +375,8 @@ class NestedSampler(Sampler):
                         # bit-identical to one dispatch per generation.
                         use_prior_batch = (self.mesh is None
                                            and rejection_gen_batch > 1)
-                        if use_prior_batch and not prior_gen_buffer:
+                        if use_prior_batch and not prior_gen_buffer \
+                                and not io_due:
                             al32 = active_logl.astype(np.float32)
                             use_prior_batch = bool(np.all(
                                 al32.astype(np.float64) == active_logl))
@@ -398,7 +453,8 @@ class NestedSampler(Sampler):
                         # retrain (which invalidates flow AND envelope).
                         use_flow_batch = (self.mesh is None
                                           and rejection_gen_batch > 1)
-                        if use_flow_batch and not flow_gen_buffer:
+                        if use_flow_batch and not flow_gen_buffer \
+                                and not io_due:
                             al32 = active_logl.astype(np.float32)
                             use_flow_batch = bool(np.all(
                                 al32.astype(np.float64) == active_logl))
@@ -541,7 +597,8 @@ class NestedSampler(Sampler):
                     # likelihoods returning true f64 values fall back to
                     # one dispatch per generation.
                     use_gen_batch = self.mesh is None and mcmc_gen_batch > 1
-                    if use_gen_batch and not mcmc_gen_buffer:
+                    if use_gen_batch and not mcmc_gen_buffer \
+                            and not io_due:
                         al32 = active_logl.astype(np.float32)
                         use_gen_batch = bool(np.all(
                             al32.astype(np.float64) == active_logl))
@@ -673,22 +730,53 @@ class NestedSampler(Sampler):
                     # The cheap one-row results.csv append above keeps its
                     # full cadence; final artifacts always written at run
                     # end.
-                    spacing = max(log_interval, last_io_it // 10)
-                    if it - last_io_it >= spacing:
+
+                # io_due / last_io_it advance in LOCKSTEP on every process
+                # (they gate prefetch-batch starts, which shape the SPMD
+                # dispatch sequence); only the writes themselves are
+                # primary-gated.
+                if it > 0 and it % log_interval == 0 and \
+                        it - last_io_it >= max(log_interval,
+                                               last_io_it // 10):
+                    io_due = True
+
+                if io_due:
+                    # Defer the owed write to an ALIGNED moment: candidate
+                    # pool exhausted and prefetch buffers empty, i.e. the
+                    # next device dispatch draws fresh from self._key. A
+                    # checkpoint written here (plus the controller +
+                    # trainer-state snapshots) resumes bit-identically to
+                    # the uninterrupted continuation. Prefetch-batch
+                    # starts are suspended while io_due, so buffers drain
+                    # within one pool; a huge rejection pool can still
+                    # starve alignment, so past 2x the cadence the write
+                    # happens anyway (statistically exact resume, the
+                    # historical semantics; meta records aligned=False).
+                    aligned = need_pool and not (
+                        mcmc_gen_buffer or prior_gen_buffer
+                        or flow_gen_buffer)
+                    overdue = it - last_io_it >= 2 * max(
+                        log_interval, last_io_it // 10)
+                    if aligned or overdue:
+                        io_due = False
                         last_io_it = it
-                        self.samples = np.asarray(saved_v)
-                        self.weights = np.exp(
-                            np.asarray(saved_logwt) - logz)
-                        self.loglikes = np.asarray(saved_logl)
-                        with self.timers.time('checkpoint_io'):
-                            self._write_checkpoint(
-                                it, active_u, active_v, active_logl,
-                                active_derived, saved_v, saved_logl,
-                                saved_logwt, logz, h, logvol,
-                                fraction_remain, strategy, expired)
-                        with self.timers.time('chain_io'):
-                            self._save_samples(self.samples, self.loglikes,
-                                               weights=self.weights)
+                        if self.single_or_primary_process:
+                            self.samples = np.asarray(saved_v)
+                            self.weights = np.exp(
+                                np.asarray(saved_logwt) - logz)
+                            self.loglikes = np.asarray(saved_logl)
+                            with self.timers.time('checkpoint_io'):
+                                self._write_checkpoint(
+                                    it, active_u, active_v, active_logl,
+                                    active_derived, saved_v, saved_logl,
+                                    saved_logwt, logz, h, logvol,
+                                    fraction_remain, strategy, expired,
+                                    controller=controller_snapshot(
+                                        aligned))
+                            with self.timers.time('chain_io'):
+                                self._save_samples(
+                                    self.samples, self.loglikes,
+                                    weights=self.weights)
 
         # Integrate the remaining live points (nested.py:487-496).
         logvol = -len(saved_v) / self.num_live_points - \
@@ -774,7 +862,7 @@ class NestedSampler(Sampler):
     def _write_checkpoint(self, it, active_u, active_v, active_logl,
                           active_derived, saved_v, saved_logl, saved_logwt,
                           logz, h, logvol, fraction_remain, strategy,
-                          expired):
+                          expired, controller=None):
         """Snapshot checkpoint state on the calling thread (the live
         arrays mutate immediately after) and queue the file IO on the
         serial background writer — checkpoint IO measured ~1 s of a warm
@@ -799,11 +887,18 @@ class NestedSampler(Sampler):
             'rng_key': np.asarray(jax.random.key_data(self._key)),
             'params': (self.trainer.host_params()
                        if self.trainer.params is not None else None),
+            'trainer_state': self.trainer.snapshot_state(),
             'meta': {'logz': logz, 'h': h, 'logvol': logvol,
                      'ncall': self.total_calls,
                      'fraction_remain': fraction_remain,
                      'strategy': list(strategy),
-                     'expired_strategies': list(expired)},
+                     'expired_strategies': list(expired),
+                     # Proposal/ladder/envelope controller state: with it
+                     # (and the trainer state above) a resume is
+                     # bit-identical to the uninterrupted continuation
+                     # when the checkpoint was written at a dispatch
+                     # boundary (pool + prefetch buffers empty).
+                     'controller': controller},
         }
 
         def write():
@@ -817,6 +912,8 @@ class NestedSampler(Sampler):
             if snap['params'] is not None:
                 with open(os.path.join(ck, 'flow_params.pkl'), 'wb') as f:
                     pickle.dump(snap['params'], f)
+            with open(os.path.join(ck, 'trainer_state.pkl'), 'wb') as f:
+                pickle.dump(snap['trainer_state'], f)
             with open(os.path.join(ck, 'checkpoint_%s.txt' % it),
                       'w') as f:
                 json.dump(snap['meta'], f)
@@ -858,7 +955,7 @@ class NestedSampler(Sampler):
         return (it, active_u, active_v, active_logl, active_derived,
                 saved_v, saved_logl, saved_logwt, data['logz'], data['h'],
                 data['logvol'], data['fraction_remain'], data['strategy'],
-                data['expired_strategies'])
+                data['expired_strategies'], data.get('controller'))
 
     # Canonical method keys for fixed-size multi-process encoding.
     _METHODS = ('rejection_prior', 'rejection_flow', 'density_flow', 'mcmc')
@@ -888,11 +985,16 @@ class NestedSampler(Sampler):
         M, MAXS = self._METHODS, self._MAX_STRATEGIES
         n_live, d, nd = self.num_live_points, self.x_dim, self.num_derived
         npar = self.num_params
-        header = np.full(8 + 2 * MAXS, -1.0, np.float64)
+        # layout: [flags/evidence 8][strategy MAXS][expired MAXS]
+        #         [controller 15 + ncs tail 20][trainer best_val/iters 2]
+        NCTRL, NTAIL = 15, 20
+        header = np.full(8 + 2 * MAXS + NCTRL + NTAIL + 2, -1.0,
+                         np.float64)
+        coff = 8 + 2 * MAXS
         if state is not None:
             (it, active_u, _av, active_logl, active_derived, saved_v,
              saved_logl, saved_logwt, logz, h, logvol, fraction_remain,
-             strategy, expired) = state
+             strategy, expired, controller) = state
             header[:8] = [1.0, it, self.total_calls, logz, h, logvol,
                           fraction_remain,
                           1.0 if self.trainer.params is not None else 0.0]
@@ -900,6 +1002,24 @@ class NestedSampler(Sampler):
                 header[8 + i] = M.index(name)
             for i, name in enumerate(expired[:MAXS]):
                 header[8 + MAXS + i] = M.index(name)
+            if controller:
+                c = controller
+                header[coff:coff + NCTRL] = [
+                    1.0, 1.0 if c.get('aligned') else 0.0,
+                    c.get('mcmc_scale', 0.0), c.get('cur_trials', 0),
+                    c.get('mean_calls', 0.0), c.get('env_gens', 0),
+                    1.0 if c.get('max_log_det_j') is not None else 0.0,
+                    c.get('max_log_det_j') or 0.0, c.get('max_r') or 0.0,
+                    1.0 if c.get('first_time') else 0.0,
+                    c.get('last_trained_it', -1),
+                    c.get('total_accepted', 0),
+                    c.get('total_rejected', 0),
+                    c.get('last_io_it', 0), c.get('ncs_count', 0)]
+                tail = list(c.get('ncs_tail', []))[-NTAIL:]
+                header[coff + NCTRL:coff + NCTRL + len(tail)] = tail
+            bv = self.trainer.best_validation_loss
+            header[coff + NCTRL + NTAIL] = (np.nan if bv is None else bv)
+            header[coff + NCTRL + NTAIL + 1] = self.trainer.total_iters
         header = np.asarray(broadcast_exact(header))
         if header[0] < 0.5:
             return None
@@ -939,14 +1059,50 @@ class NestedSampler(Sampler):
             self.trainer._key = jax.random.wrap_key_data(
                 np.asarray(mh.broadcast_one_to_all(
                     np.asarray(jax.random.key_data(self.trainer._key)))))
+            # Adam moments: every process has the same pytree STRUCTURE
+            # after ensure_init (broadcast needs that), so the primary's
+            # restored optimizer state syncs exactly — retrains after a
+            # bit-exact resume then match on every rank.
+            if self.trainer._opt_state is not None:
+                self.trainer._opt_state = mh.broadcast_one_to_all(
+                    self.trainer._opt_state)
         self.total_calls = int(header[2])
         strategy = [M[int(i)] for i in header[8:8 + MAXS] if i >= 0]
-        expired = [M[int(i)] for i in header[8 + MAXS:] if i >= 0]
+        expired = [M[int(i)]
+                   for i in header[8 + MAXS:8 + 2 * MAXS] if i >= 0]
+        controller = None
+        if header[coff] > 0.5:
+            tail_len = min(int(header[coff + 14]), NTAIL)
+            controller = {
+                'aligned': header[coff + 1] > 0.5,
+                'mcmc_scale': float(header[coff + 2]),
+                'cur_trials': int(header[coff + 3]),
+                'mean_calls': float(header[coff + 4]),
+                'env_gens': int(header[coff + 5]),
+                'max_log_det_j': (float(header[coff + 7])
+                                  if header[coff + 6] > 0.5 else None),
+                'max_r': (float(header[coff + 8])
+                          if header[coff + 6] > 0.5 else None),
+                'first_time': header[coff + 9] > 0.5,
+                'last_trained_it': int(header[coff + 10]),
+                'total_accepted': int(header[coff + 11]),
+                'total_rejected': int(header[coff + 12]),
+                'last_io_it': int(header[coff + 13]),
+                'ncs_count': int(header[coff + 14]),
+                'ncs_tail': [float(x) for x in
+                             header[coff + NCTRL:coff + NCTRL + tail_len]],
+            }
+        bv = float(header[coff + NCTRL + NTAIL])
+        self.trainer.best_validation_loss = None if np.isnan(bv) else bv
+        ti = header[coff + NCTRL + NTAIL + 1]
+        if ti >= 0:
+            self.trainer.total_iters = int(ti)
         active_v = np.asarray(self.transform(active_u), dtype=np.float64)
         return (it, active_u, active_v, active_logl, active_derived,
                 [np.asarray(r) for r in saved_v], list(saved_logl),
                 list(saved_logwt), float(header[3]), float(header[4]),
-                float(header[5]), float(header[6]), strategy, expired)
+                float(header[5]), float(header[6]), strategy, expired,
+                controller)
 
     def _load_checkpoint_local(self):
         """Resume scan (reference nested.py:166-195), extended with flow
@@ -984,4 +1140,17 @@ class NestedSampler(Sampler):
             except Exception as e:
                 self.logger.warning('Could not restore flow params (%s); '
                                     'flow will retrain' % e)
+        # Cross-retrain trainer state (Adam moments, trainer PRNG key,
+        # early-stop bookkeeping) — restored AFTER load(), which resets
+        # the optimizer. Absent/corrupt file degrades to the historical
+        # statistically-exact (not bit-exact) resume.
+        tstate_path = os.path.join(ck, 'trainer_state.pkl')
+        if os.path.exists(tstate_path):
+            try:
+                with open(tstate_path, 'rb') as f:
+                    self.trainer.restore_state(pickle.load(f))
+            except Exception as e:
+                self.logger.warning(
+                    'Could not restore trainer state (%s); resume is '
+                    'statistically (not bit-) exact' % e)
         return state

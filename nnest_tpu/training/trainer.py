@@ -586,6 +586,42 @@ class Trainer:
         self.params = jax.tree.map(jnp.asarray, tree)
         self._init_optimizer()
 
+    def snapshot_state(self):
+        """Host snapshot of the CROSS-retrain training state (params are
+        checkpointed separately): Adam moments, the trainer PRNG key,
+        early-stop bookkeeping, TB step counter. Together with the flow
+        params this makes a retrain after resume bit-identical to the
+        retrain an uninterrupted run would have executed — the optimizer
+        warm-starts from persisted moments and the key stream continues
+        where it left off."""
+        if self._opt_state is None:
+            opt_host = None
+        elif self._opt_state is getattr(self, '_opt_snap_src', None):
+            opt_host = self._opt_snap_cache   # unchanged since last pull
+        else:
+            opt_host = jax.device_get(self._opt_state)
+            self._opt_snap_src = self._opt_state
+            self._opt_snap_cache = opt_host
+        return {
+            'opt_state': opt_host,
+            'key': np.asarray(jax.random.key_data(self._key)),
+            'best_validation_loss': self.best_validation_loss,
+            'best_validation_epoch': self.best_validation_epoch,
+            'total_iters': self.total_iters,
+        }
+
+    def restore_state(self, snap):
+        """Inverse of :meth:`snapshot_state`. Call AFTER ``load()`` —
+        load() re-initializes the optimizer state this overwrites."""
+        if snap.get('opt_state') is not None:
+            self._opt_state = jax.tree.map(jnp.asarray, snap['opt_state'])
+        key = np.asarray(snap['key'])
+        self._key = jax.random.wrap_key_data(key.astype(np.asarray(
+            jax.random.key_data(self._key)).dtype))
+        self.best_validation_loss = snap['best_validation_loss']
+        self.best_validation_epoch = snap['best_validation_epoch']
+        self.total_iters = int(snap['total_iters'])
+
     # --------------------------------------------------------------- plots
 
     def plot_samples(self, samples, outfile=None, plot_synthetic=True,

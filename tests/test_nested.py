@@ -73,6 +73,58 @@ def test_checkpoint_resume(tmp_path):
     assert abs(s2.logz + 3.589) <= 0.6
 
 
+def test_bit_exact_resume(tmp_path):
+    """Kill-and-resume equals the uninterrupted run BIT-FOR-BIT.
+
+    Checkpoints are written at dispatch boundaries (pool + prefetch
+    buffers empty, so the saved PRNG key is positioned exactly at the
+    next dispatch) and carry the proposal/ladder/envelope controller +
+    the trainer's cross-retrain state (Adam moments, trainer key,
+    early-stop bookkeeping). A resumed run therefore replays the exact
+    candidate stream of the uninterrupted continuation — the strongest
+    form of the reference's resume contract (nested.py:166-195), which
+    was only statistically exact."""
+    like = Gaussian(2, 0.0, lim=3)
+
+    def final(s):
+        return (s.logz, s.h, s.total_calls, s.niter)
+
+    # small rejection pools (batch 32) keep pool-boundary (aligned)
+    # checkpoint moments frequent; huge pools fall back to the overdue
+    # (statistically exact) write, which this test must avoid
+    kw = dict(train_iters=50, log_interval=20, dlogz=0.5,
+              volume_switch=0.5, mcmc_num_chains=10, mcmc_steps=20,
+              rejection_batch_size=32)
+
+    sA = NestedSampler(2, like, transform=lambda x: 3 * x,
+                       num_live_points=100,
+                       log_dir=str(tmp_path / 'uninterrupted'),
+                       append_run_num=False, resume=True, seed=7)
+    sA.run(**kw)
+
+    sB = NestedSampler(2, like, transform=lambda x: 3 * x,
+                       num_live_points=100,
+                       log_dir=str(tmp_path / 'killed'),
+                       append_run_num=False, resume=True, seed=7)
+    sB.run(max_iters=120, **kw)
+    import glob as _glob
+    import json as _json
+    ck = os.path.join(sB.log_dir, 'checkpoint')
+    latest = max(int(os.path.basename(p).split('_')[1].split('.txt')[0])
+                 for p in _glob.glob(os.path.join(ck, 'checkpoint_*.txt')))
+    with open(os.path.join(ck, 'checkpoint_%d.txt' % latest)) as f:
+        meta = _json.load(f)
+    assert meta['controller']['aligned'], meta['controller']
+    # the constructor seed differs on purpose: every PRNG bit must come
+    # from the checkpoint, not the constructor
+    sC = NestedSampler(2, like, transform=lambda x: 3 * x,
+                       num_live_points=100,
+                       log_dir=str(tmp_path / 'killed'),
+                       append_run_num=False, resume=True, seed=99)
+    sC.run(**kw)
+    assert final(sC) == final(sA)
+
+
 def test_corrupted_checkpoint_falls_back(tmp_path):
     """A corrupted newest checkpoint must not brick resume: the sampler
     falls back to the next older checkpoint and completes."""
