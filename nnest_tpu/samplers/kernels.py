@@ -685,6 +685,42 @@ class LatentKernels:
             adapt_trials=adapt_trials, can_double=can_double,
             can_halve=can_halve)
 
+    @staticmethod
+    def _ladder_window_update(n_ok, nc, wvals, wcount, expiry_thr,
+                              trials_target, adapt_trials, can_double,
+                              can_halve):
+        """Device replica of the host's integer trial ladder + ncs
+        efficiency-window push (the pool-consumption block in
+        ``samplers/nested.py``): shared by the prior- and flow-rejection
+        generation loops so the two prefetch paths cannot silently
+        diverge. MUST stay bit-identical to the host logic — any change
+        here must be mirrored in nested.py's consume block and vice
+        versa. Returns (ladder_or_expiry_stop, wvals, wcount)."""
+        # host ladder, replicated in exact integer arithmetic
+        ladder = jnp.asarray(False)
+        if adapt_trials:
+            if can_double:
+                ladder = jnp.logical_or(ladder,
+                                        n_ok < trials_target // 2)
+            if can_halve:
+                ladder = jnp.logical_or(ladder,
+                                        n_ok > 2 * trials_target)
+        # host ncs window mirror: nc pushed min(max(n_ok,1),5) times
+        # into a 20-slot ring keyed on absolute push index
+        push = jnp.minimum(jnp.maximum(n_ok, 1), 5)
+        for j in range(5):
+            do = j < push
+            wvals = jnp.where(
+                do,
+                jax.lax.dynamic_update_index_in_dim(
+                    wvals, nc, wcount % 20, 0),
+                wvals)
+            wcount = wcount + do.astype(jnp.int32)
+        # conservative f32 proxy of the host's f64 mean-calls expiry
+        proxy = jnp.where(wcount > 20, jnp.sum(wvals) / 20.0,
+                          jnp.float32(0.0))
+        return jnp.logical_or(ladder, proxy > expiry_thr), wvals, wcount
+
     def _rejection_prior_generations_impl(self, gen_impl, key, active_u,
                                           active_logl, active_derived,
                                           it0, max_iters, it_stop,
@@ -726,33 +762,15 @@ class LatentKernels:
                 'start_it': jax.lax.dynamic_update_index_in_dim(
                     meta['start_it'], it, gen, 0)}
             n_ok = jnp.sum(ok.astype(jnp.int32))
-            # host ladder, replicated in exact integer arithmetic
-            ladder = jnp.asarray(False)
-            if adapt_trials:
-                if can_double:
-                    ladder = jnp.logical_or(ladder,
-                                            n_ok < trials_target // 2)
-                if can_halve:
-                    ladder = jnp.logical_or(ladder,
-                                            n_ok > 2 * trials_target)
-            # host ncs window mirror: nc pushed min(max(n_ok,1),5) times
             nc = jnp.where(n_ok > 0,
                            jnp.float32(num_trials)
                            / jnp.maximum(n_ok, 1).astype(jnp.float32),
                            jnp.float32(num_trials))
-            push = jnp.minimum(jnp.maximum(n_ok, 1), 5)
-            for j in range(5):
-                do = j < push
-                wvals = jnp.where(
-                    do,
-                    jax.lax.dynamic_update_index_in_dim(
-                        wvals, nc, wcount % 20, 0),
-                    wvals)
-                wcount = wcount + do.astype(jnp.int32)
-            proxy = jnp.where(wcount > 20, jnp.sum(wvals) / 20.0,
-                              jnp.float32(0.0))
+            ladder_stop, wvals, wcount = self._ladder_window_update(
+                n_ok, nc, wvals, wcount, expiry_thr, trials_target,
+                adapt_trials, can_double, can_halve)
             stop = jnp.logical_or(
-                jnp.logical_or(ladder, proxy > expiry_thr),
+                ladder_stop,
                 jnp.logical_or(it2 > max_iters, it2 >= it_stop))
             return (key, au, al, ad, it2, gen + jnp.int32(1), stop,
                     wvals, wcount, bufs, meta)
@@ -934,31 +952,15 @@ class LatentKernels:
                 'start_it': jax.lax.dynamic_update_index_in_dim(
                     meta['start_it'], it, gen, 0)}
             n_ok = jnp.sum(ok.astype(jnp.int32))
-            ladder = jnp.asarray(False)
-            if adapt_trials:
-                if can_double:
-                    ladder = jnp.logical_or(ladder,
-                                            n_ok < trials_target // 2)
-                if can_halve:
-                    ladder = jnp.logical_or(ladder,
-                                            n_ok > 2 * trials_target)
             nev_f = n_evals.astype(jnp.float32)
             nc = jnp.where(n_ok > 0,
                            nev_f / jnp.maximum(n_ok, 1).astype(jnp.float32),
                            jnp.maximum(nev_f, 1.0))
-            push = jnp.minimum(jnp.maximum(n_ok, 1), 5)
-            for j in range(5):
-                do = j < push
-                wvals = jnp.where(
-                    do,
-                    jax.lax.dynamic_update_index_in_dim(
-                        wvals, nc, wcount % 20, 0),
-                    wvals)
-                wcount = wcount + do.astype(jnp.int32)
-            proxy = jnp.where(wcount > 20, jnp.sum(wvals) / 20.0,
-                              jnp.float32(0.0))
+            ladder_stop, wvals, wcount = self._ladder_window_update(
+                n_ok, nc, wvals, wcount, expiry_thr, trials_target,
+                adapt_trials, can_double, can_halve)
             stop = jnp.logical_or(
-                jnp.logical_or(ladder, proxy > expiry_thr),
+                ladder_stop,
                 jnp.logical_or(crossed, it2 > max_iters))
             return (key, au, al, ad, it2, gen + jnp.int32(1), stop,
                     wvals, wcount, env_valid, env_gens, mld, mr, bufs,
