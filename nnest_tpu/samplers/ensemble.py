@@ -18,6 +18,7 @@ from __future__ import annotations
 import glob
 import logging
 import os
+import pickle
 
 import jax
 import jax.numpy as jnp
@@ -132,6 +133,19 @@ class EnsembleSampler(Sampler):
                  chains=chains, training_samples=training_samples,
                  key_data=np.asarray(jax.random.key_data(self._key)),
                  total_calls=self.total_calls)
+        # Cross-phase trainer state (flow params, Adam moments, trainer
+        # PRNG key): phase N+1's train() warm-starts from phase N's
+        # params/moments and consumes the trainer key stream, so without
+        # this a resumed bootstrap diverges from the uninterrupted one.
+        # Written AFTER the npz: a phase with npz but no trainer file
+        # degrades to the historical statistically-exact resume.
+        with open(os.path.join(self.logs['checkpoint'],
+                               'bootstrap_%d_trainer.pkl' % phase),
+                  'wb') as f:
+            pickle.dump({'params': (self.trainer.host_params()
+                                    if self.trainer.params is not None
+                                    else None),
+                         'state': self.trainer.snapshot_state()}, f)
 
     def _sync_bootstrap_state(self, loaded):
         """Broadcast the rank-0 resume decision + restored state to every
@@ -143,10 +157,14 @@ class EnsembleSampler(Sampler):
         ``broadcast_exact`` keeps the float64 state (likelihood counter,
         training samples) bit-exact through the collective."""
         from nnest_tpu.parallel.mesh import broadcast_exact
-        header = np.full(4, -1.0, np.float64)
+        header = np.full(7, -1.0, np.float64)
         if loaded is not None:
             phase, ts = loaded
             header[:4] = [1.0, phase, ts.shape[0], self.total_calls]
+            header[4] = 1.0 if self.trainer.params is not None else 0.0
+            bv = self.trainer.best_validation_loss
+            header[5] = np.nan if bv is None else bv
+            header[6] = self.trainer.total_iters
         header = np.asarray(broadcast_exact(header))
         if header[0] < 0.5:
             return None
@@ -159,6 +177,25 @@ class EnsembleSampler(Sampler):
             (ts, np.asarray(jax.random.key_data(self._key))))
         self._key = jax.random.wrap_key_data(np.asarray(key_data))
         self.total_calls = int(header[3])
+        # Trainer state rides collectives too (same reasons as
+        # NestedSampler._sync_checkpoint_state): params + Adam moments as
+        # pytree broadcasts after ensure_init gives every rank the same
+        # structure; trainer key + early-stop scalars exactly.
+        from jax.experimental import multihost_utils as mh
+        if header[4] > 0.5:
+            self.trainer.ensure_init()
+            self.trainer.params = mh.broadcast_one_to_all(
+                self.trainer.params)
+            if self.trainer._opt_state is not None:
+                self.trainer._opt_state = mh.broadcast_one_to_all(
+                    self.trainer._opt_state)
+        self.trainer._key = jax.random.wrap_key_data(
+            np.asarray(mh.broadcast_one_to_all(
+                np.asarray(jax.random.key_data(self.trainer._key)))))
+        bv = float(header[5])
+        self.trainer.best_validation_loss = None if np.isnan(bv) else bv
+        if header[6] >= 0:
+            self.trainer.total_iters = int(header[6])
         return int(header[1]), np.array(ts, dtype=np.float64, copy=True)
 
     def _bootstrap_load_latest(self, max_phase):
@@ -190,6 +227,21 @@ class EnsembleSampler(Sampler):
             return None
         self._key = jax.random.wrap_key_data(key_data)
         self.total_calls = total_calls
+        tpath = os.path.join(self.logs['checkpoint'],
+                             'bootstrap_%d_trainer.pkl' % best[0])
+        if os.path.exists(tpath):
+            try:
+                with open(tpath, 'rb') as f:
+                    snap = pickle.load(f)
+                if snap['params'] is not None:
+                    self.trainer.params = jax.tree.map(
+                        jnp.asarray, snap['params'])
+                    self.trainer._init_optimizer()
+                self.trainer.restore_state(snap['state'])
+            except Exception as e:
+                self.logger.warning(
+                    'Could not restore bootstrap trainer state (%s); '
+                    'resume is statistically (not bit-) exact' % e)
         return best[0], training_samples
 
     def bootstrap(self,

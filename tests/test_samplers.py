@@ -81,6 +81,41 @@ def test_ensemble_bootstrap_resume(tmp_path, gauss_problem):
     assert abs(np.mean(out)) < 0.35
 
 
+def test_ensemble_bootstrap_bit_exact_resume(tmp_path, gauss_problem):
+    """Kill-and-resume of a bootstrap equals the uninterrupted bootstrap
+    BIT-FOR-BIT: phase checkpoints persist the sampler PRNG + the
+    cross-phase trainer state (flow params, Adam moments, trainer key),
+    so the resumed phase's retrain and latent ensemble round replay
+    exactly. The constructor seed of the resuming sampler differs on
+    purpose — every PRNG bit must come from the checkpoint. Each sampler
+    gets a FRESH identically-seeded prior (the prior's host RNG advances
+    on phase-0 init draws, so a shared prior object would make run B's
+    phase 0 differ from run A's)."""
+    like, _, training = gauss_problem
+
+    def fresh_prior():
+        p = UniformPrior(2, -5, 5)
+        p.seed(0)
+        return p
+
+    sA = EnsembleSampler(2, like, prior=fresh_prior(),
+                         append_run_num=False,
+                         log_dir=str(tmp_path / 'bootA'), seed=3)
+    outA = sA.bootstrap(100, 32, iters=2, thin=5)
+
+    sB = EnsembleSampler(2, like, prior=fresh_prior(),
+                         append_run_num=False,
+                         log_dir=str(tmp_path / 'bootB'), seed=3)
+    sB.bootstrap(100, 32, iters=1, thin=5)
+    sC = EnsembleSampler(2, like, prior=fresh_prior(),
+                         append_run_num=False,
+                         log_dir=str(tmp_path / 'bootB'), seed=99)
+    outC = sC.bootstrap(100, 32, iters=2, thin=5, resume=True)
+
+    np.testing.assert_array_equal(outA, outC)
+    assert sC.total_calls == sA.total_calls
+
+
 def test_ensemble_corrupt_bootstrap_checkpoint(tmp_path, gauss_problem):
     """A bootstrap checkpoint that loads partially (npz member reads are
     lazy — a truncated archive can raise on the 2nd/3rd access) must leave
