@@ -584,7 +584,12 @@ class LatentKernels:
                     meta['start_loglstar'], loglstar, gen, 0),
                 'start_it': jax.lax.dynamic_update_index_in_dim(
                     meta['start_it'], it, gen, 0)}
-            stop = jnp.logical_or(crossed, it2 > max_iters)
+            # NOTE: max_iters is deliberately NOT a stop rule: it is a
+            # pure host-side loop terminator. Generations past it are
+            # discarded unconsumed, so stopping on it would only change
+            # the key stream — a run killed by max_iters must leave the
+            # same checkpoint state as a crash at that iteration.
+            stop = crossed
             return (key, au, al, ad, it2, gen + jnp.int32(1), stop, bufs,
                     meta)
 
@@ -769,9 +774,8 @@ class LatentKernels:
             ladder_stop, wvals, wcount = self._ladder_window_update(
                 n_ok, nc, wvals, wcount, expiry_thr, trials_target,
                 adapt_trials, can_double, can_halve)
-            stop = jnp.logical_or(
-                ladder_stop,
-                jnp.logical_or(it2 > max_iters, it2 >= it_stop))
+            # max_iters is a pure host stopper (see mcmc impl note)
+            stop = jnp.logical_or(ladder_stop, it2 >= it_stop)
             return (key, au, al, ad, it2, gen + jnp.int32(1), stop,
                     wvals, wcount, bufs, meta)
 
@@ -959,9 +963,8 @@ class LatentKernels:
             ladder_stop, wvals, wcount = self._ladder_window_update(
                 n_ok, nc, wvals, wcount, expiry_thr, trials_target,
                 adapt_trials, can_double, can_halve)
-            stop = jnp.logical_or(
-                ladder_stop,
-                jnp.logical_or(crossed, it2 > max_iters))
+            # max_iters is a pure host stopper (see mcmc impl note)
+            stop = jnp.logical_or(ladder_stop, crossed)
             return (key, au, al, ad, it2, gen + jnp.int32(1), stop,
                     wvals, wcount, env_valid, env_gens, mld, mr, bufs,
                     meta)

@@ -170,14 +170,15 @@ class NestedSampler(Sampler):
         self._drain_io()
         state = self._load_checkpoint()
         controller = None
+        pool_state = None
         if state is not None:
             (it, active_u, active_v, active_logl, active_derived, saved_v,
              saved_logl, saved_logwt, logz, h, logvol, fraction_remain,
-             strategy, expired, controller) = state
+             strategy, expired, controller, pool_state) = state
             if self.single_or_primary_process:
                 self.logger.info('Resumed from checkpoint [%d]%s' % (
-                    it, ' (bit-exact)' if controller
-                        and controller.get('aligned') else ''))
+                    it, ' (bit-exact)' if controller and pool_state
+                    else ''))
         else:
             active_u = np.asarray(self.sample_prior(self.num_live_points),
                                   dtype=np.float64)
@@ -232,17 +233,15 @@ class NestedSampler(Sampler):
         cur_trials = int(rejection_batch_size)
         trials_target = max(16, self.num_live_points // 8)
         last_io_it = it      # iteration of the last checkpoint/chain write
-        io_due = False       # a checkpoint is owed at the next aligned
-        #                      (pool + prefetch buffers empty) moment
 
         if controller:
             # Bit-exact resume: restore the proposal/ladder/envelope
             # controller exactly as the uninterrupted run would have had
-            # it. Aligned checkpoints (pool + prefetch buffers empty at
-            # write time) additionally guarantee the saved PRNG key is
-            # positioned exactly at the next dispatch, so the resumed
-            # run's candidate stream — and hence final logz/h/ncall —
-            # is bit-identical to the uninterrupted continuation.
+            # it. Together with the pool state (unconsumed candidate pool
+            # + compact prefetch buffers, restored below) and the trainer
+            # state, the resumed run's candidate stream — and hence the
+            # final logz/h/ncall — is bit-identical to the uninterrupted
+            # continuation from ANY checkpoint.
             mcmc_scale = float(controller.get('mcmc_scale', mcmc_scale))
             cur_trials = int(controller.get('cur_trials', cur_trials))
             nw = [float(x) for x in controller.get('ncs_tail', [])]
@@ -264,9 +263,55 @@ class NestedSampler(Sampler):
                                                      self.total_rejected))
             last_io_it = int(controller.get('last_io_it', last_io_it))
 
-        def controller_snapshot(aligned):
+        if pool_state and pool_state.get('it') is not None:
+            # Restore the in-flight candidate pool (unconsumed remainder)
+            # and the compact prefetch buffers exactly as the checkpoint
+            # captured them, so the saved PRNG key lines up with the next
+            # real dispatch regardless of where in a pool the checkpoint
+            # landed.
+            need_pool = bool(pool_state['need_pool'])
+            if pool_state['pool'] is not None:
+                pool = {k: np.asarray(v)
+                        for k, v in pool_state['pool'].items()
+                        if k in ('u', 'logl', 'derived')}
+                if 'mean_jump' in pool_state['pool']:
+                    pool['mean_jump'] = float(
+                        pool_state['pool']['mean_jump'])
+                pool_pos = 0   # remainder was saved from pool_pos onward
+            mcmc_gen_buffer = list(pool_state.get('mcmc_buf') or [])
+            prior_gen_buffer = list(pool_state.get('prior_buf') or [])
+            flow_gen_buffer = list(pool_state.get('flow_buf') or [])
+
+        def pool_state_snapshot():
+            remainder = None
+            if pool is not None and not need_pool:
+                remainder = {k: np.array(pool[k][pool_pos:])
+                             for k in ('u', 'logl', 'derived')
+                             if k in pool}
+                if 'mean_jump' in pool:
+                    remainder['mean_jump'] = float(pool['mean_jump'])
             return {
-                'aligned': bool(aligned),
+                'it': int(it),
+                'need_pool': bool(need_pool),
+                'pool': remainder,
+                'mcmc_buf': list(mcmc_gen_buffer),
+                'prior_buf': list(prior_gen_buffer),
+                'flow_buf': list(flow_gen_buffer),
+            }
+
+        # Seed the strategy ladder with its first pick so the first loop
+        # pass does not register a '' -> method "switch": that switch
+        # resets need_pool/cur_trials, which on a resume would discard the
+        # restored in-flight pool (and pop prefetched generations too
+        # early). For fresh runs this is a no-op (need_pool is already
+        # True and cur_trials is already the reset value).
+        for method in strategy:
+            if method not in expired:
+                current_method = method
+                break
+
+        def controller_snapshot():
+            return {
                 'mcmc_scale': float(mcmc_scale),
                 'cur_trials': int(cur_trials),
                 'ncs_tail': [float(x) for x in ncs[-20:]],
@@ -375,8 +420,7 @@ class NestedSampler(Sampler):
                         # bit-identical to one dispatch per generation.
                         use_prior_batch = (self.mesh is None
                                            and rejection_gen_batch > 1)
-                        if use_prior_batch and not prior_gen_buffer \
-                                and not io_due:
+                        if use_prior_batch and not prior_gen_buffer:
                             al32 = active_logl.astype(np.float32)
                             use_prior_batch = bool(np.all(
                                 al32.astype(np.float64) == active_logl))
@@ -394,8 +438,18 @@ class NestedSampler(Sampler):
                                 max_gens = min(
                                     rejection_gen_batch,
                                     max(1, 2 ** 18 // cur_trials))
+                                # Compact each generation at fill time
+                                # (ok-masked candidate rows + scalars, a
+                                # few KB): pops then do pure bookkeeping,
+                                # and the buffer serializes directly into
+                                # checkpoints for bit-exact mid-pool
+                                # resume.
                                 prior_gen_buffer = [
-                                    g + (cur_trials,) for g in
+                                    self._compact_rejection_gen(
+                                        g[0], g[1], g[2], g[3], None,
+                                        None, None, g[4], g[5],
+                                        cur_trials)
+                                    for g in
                                     self._rejection_prior_generations_batch(
                                         active_u, active_logl,
                                         active_derived if
@@ -410,27 +464,23 @@ class NestedSampler(Sampler):
                                         cur_trials
                                         >= 2 * rejection_batch_size)]
                         if use_prior_batch and prior_gen_buffer:
-                            (x_g, ll_g, ds_g, ok_g, g_loglstar, g_it,
-                             g_trials) = prior_gen_buffer.pop(0)
-                            if g_it != it or g_loglstar != float(
+                            g = prior_gen_buffer.pop(0)
+                            if g['it'] != it or g['loglstar'] != float(
                                     np.float32(loglstar)) or \
-                                    g_trials != cur_trials:
+                                    g['trials'] != cur_trials:
                                 raise RuntimeError(
                                     'prior generation prefetch desync: '
                                     'device (it=%d, loglstar=%r, '
                                     'trials=%d) vs host (it=%d, '
                                     'loglstar=%r, trials=%d)' % (
-                                        g_it, g_loglstar, g_trials, it,
+                                        g['it'], g['loglstar'],
+                                        g['trials'], it,
                                         float(np.float32(loglstar)),
                                         cur_trials))
-                            ok_g = np.asarray(ok_g)
-                            self.total_calls += g_trials
-                            n_ok_g = int(ok_g.sum())
-                            nc = (g_trials / max(n_ok_g, 1)
-                                  if n_ok_g > 0 else g_trials)
-                            s = np.asarray(x_g)[ok_g]
-                            ll = np.asarray(ll_g, dtype=np.float64)[ok_g]
-                            ds = np.asarray(ds_g, dtype=np.float64)[ok_g]
+                            self.total_calls += g['trials']
+                            nc = (g['trials'] / max(g['n_ok'], 1)
+                                  if g['n_ok'] > 0 else g['trials'])
+                            s, ll, ds = g['s'], g['ll'], g['ds']
                             served_from_prefetch = True
                         else:
                             with self.timers.time('candidate_kernel'):
@@ -453,8 +503,7 @@ class NestedSampler(Sampler):
                         # retrain (which invalidates flow AND envelope).
                         use_flow_batch = (self.mesh is None
                                           and rejection_gen_batch > 1)
-                        if use_flow_batch and not flow_gen_buffer \
-                                and not io_due:
+                        if use_flow_batch and not flow_gen_buffer:
                             al32 = active_logl.astype(np.float32)
                             use_flow_batch = bool(np.all(
                                 al32.astype(np.float64) == active_logl))
@@ -465,7 +514,11 @@ class NestedSampler(Sampler):
                                     rejection_gen_batch,
                                     max(1, 2 ** 18 // cur_trials))
                                 flow_gen_buffer = [
-                                    g + (cur_trials,) for g in
+                                    self._compact_rejection_gen(
+                                        g[0], g[1], g[2], g[3], g[4],
+                                        g[5], g[6], g[7], g[8],
+                                        cur_trials)
+                                    for g in
                                     self._rejection_flow_generations_batch(
                                         active_u.astype(np.float32),
                                         active_logl,
@@ -493,30 +546,25 @@ class NestedSampler(Sampler):
                                         cur_trials
                                         >= 2 * rejection_batch_size)]
                         if use_flow_batch and flow_gen_buffer:
-                            (x_g, ll_g, ds_g, ok_g, nev_g, mld_g, mr_g,
-                             g_loglstar, g_it,
-                             g_trials) = flow_gen_buffer.pop(0)
-                            if g_it != it or g_loglstar != float(
+                            g = flow_gen_buffer.pop(0)
+                            if g['it'] != it or g['loglstar'] != float(
                                     np.float32(loglstar)) or \
-                                    g_trials != cur_trials:
+                                    g['trials'] != cur_trials:
                                 raise RuntimeError(
                                     'flow generation prefetch desync: '
                                     'device (it=%d, loglstar=%r, '
                                     'trials=%d) vs host (it=%d, '
                                     'loglstar=%r, trials=%d)' % (
-                                        g_it, g_loglstar, g_trials, it,
+                                        g['it'], g['loglstar'],
+                                        g['trials'], it,
                                         float(np.float32(loglstar)),
                                         cur_trials))
-                            self._max_log_det_j = mld_g
-                            self._max_r = mr_g
-                            ok_g = np.asarray(ok_g)
-                            self.total_calls += nev_g
-                            n_ok_g = int(ok_g.sum())
-                            nc = (nev_g / max(n_ok_g, 1) if n_ok_g > 0
-                                  else max(nev_g, 1))
-                            s = np.asarray(x_g)[ok_g]
-                            ll = np.asarray(ll_g, dtype=np.float64)[ok_g]
-                            ds = np.asarray(ds_g, dtype=np.float64)[ok_g]
+                            self._max_log_det_j = g['mld']
+                            self._max_r = g['mr']
+                            self.total_calls += g['nev']
+                            nc = (g['nev'] / max(g['n_ok'], 1)
+                                  if g['n_ok'] > 0 else max(g['nev'], 1))
+                            s, ll, ds = g['s'], g['ll'], g['ds']
                             served_from_prefetch = True
                         else:
                             with self.timers.time('candidate_kernel'):
@@ -575,11 +623,11 @@ class NestedSampler(Sampler):
                     # silently break bit-reproducibility.
                     leftover = prior_gen_buffer or flow_gen_buffer
                     if served_from_prefetch and leftover and (
-                            switch or leftover[0][-1] != cur_trials):
+                            switch or leftover[0]['trials'] != cur_trials):
                         raise RuntimeError(
                             'rejection generation prefetch outran a '
                             'ladder/expiry decision (switch=%s, trials '
-                            '%d -> %d)' % (switch, leftover[0][-1],
+                            '%d -> %d)' % (switch, leftover[0]['trials'],
                                            cur_trials))
 
                     pool = {'u': s, 'logl': ll, 'derived': ds}
@@ -597,8 +645,7 @@ class NestedSampler(Sampler):
                     # likelihoods returning true f64 values fall back to
                     # one dispatch per generation.
                     use_gen_batch = self.mesh is None and mcmc_gen_batch > 1
-                    if use_gen_batch and not mcmc_gen_buffer \
-                            and not io_due:
+                    if use_gen_batch and not mcmc_gen_buffer:
                         al32 = active_logl.astype(np.float32)
                         use_gen_batch = bool(np.all(
                             al32.astype(np.float64) == active_logl))
@@ -730,53 +777,24 @@ class NestedSampler(Sampler):
                     # The cheap one-row results.csv append above keeps its
                     # full cadence; final artifacts always written at run
                     # end.
-
-                # io_due / last_io_it advance in LOCKSTEP on every process
-                # (they gate prefetch-batch starts, which shape the SPMD
-                # dispatch sequence); only the writes themselves are
-                # primary-gated.
-                if it > 0 and it % log_interval == 0 and \
-                        it - last_io_it >= max(log_interval,
-                                               last_io_it // 10):
-                    io_due = True
-
-                if io_due:
-                    # Defer the owed write to an ALIGNED moment: candidate
-                    # pool exhausted and prefetch buffers empty, i.e. the
-                    # next device dispatch draws fresh from self._key. A
-                    # checkpoint written here (plus the controller +
-                    # trainer-state snapshots) resumes bit-identically to
-                    # the uninterrupted continuation. Prefetch-batch
-                    # starts are suspended while io_due, so buffers drain
-                    # within one pool; a huge rejection pool can still
-                    # starve alignment, so past 2x the cadence the write
-                    # happens anyway (statistically exact resume, the
-                    # historical semantics; meta records aligned=False).
-                    aligned = need_pool and not (
-                        mcmc_gen_buffer or prior_gen_buffer
-                        or flow_gen_buffer)
-                    overdue = it - last_io_it >= 2 * max(
-                        log_interval, last_io_it // 10)
-                    if aligned or overdue:
-                        io_due = False
+                    spacing = max(log_interval, last_io_it // 10)
+                    if it - last_io_it >= spacing:
                         last_io_it = it
-                        if self.single_or_primary_process:
-                            self.samples = np.asarray(saved_v)
-                            self.weights = np.exp(
-                                np.asarray(saved_logwt) - logz)
-                            self.loglikes = np.asarray(saved_logl)
-                            with self.timers.time('checkpoint_io'):
-                                self._write_checkpoint(
-                                    it, active_u, active_v, active_logl,
-                                    active_derived, saved_v, saved_logl,
-                                    saved_logwt, logz, h, logvol,
-                                    fraction_remain, strategy, expired,
-                                    controller=controller_snapshot(
-                                        aligned))
-                            with self.timers.time('chain_io'):
-                                self._save_samples(
-                                    self.samples, self.loglikes,
-                                    weights=self.weights)
+                        self.samples = np.asarray(saved_v)
+                        self.weights = np.exp(
+                            np.asarray(saved_logwt) - logz)
+                        self.loglikes = np.asarray(saved_logl)
+                        with self.timers.time('checkpoint_io'):
+                            self._write_checkpoint(
+                                it, active_u, active_v, active_logl,
+                                active_derived, saved_v, saved_logl,
+                                saved_logwt, logz, h, logvol,
+                                fraction_remain, strategy, expired,
+                                controller=controller_snapshot(),
+                                pool_state=pool_state_snapshot())
+                        with self.timers.time('chain_io'):
+                            self._save_samples(self.samples, self.loglikes,
+                                               weights=self.weights)
 
         # Integrate the remaining live points (nested.py:487-496).
         logvol = -len(saved_v) / self.num_live_points - \
@@ -859,10 +877,33 @@ class NestedSampler(Sampler):
                 [it, acceptance, ess_min, ess_max, jump, scale, loglstar,
                  logz, fraction_remain, self.total_calls])
 
+    @staticmethod
+    def _compact_rejection_gen(x, ll, ds, ok, nev, mld, mr, loglstar, it,
+                               trials):
+        """Compress one raw rejection generation (trials-sized arrays +
+        accept mask) into its consumable form: the ok-masked candidate
+        rows plus bookkeeping scalars. Pops become pure bookkeeping and
+        the buffer pickles directly into checkpoints, which is what makes
+        mid-pool resume bit-exact without persisting 10-100 MB of raw
+        trial arrays."""
+        ok = np.asarray(ok)
+        return {
+            's': np.asarray(x)[ok],
+            'll': np.asarray(ll, dtype=np.float64)[ok],
+            'ds': np.asarray(ds, dtype=np.float64)[ok],
+            'n_ok': int(ok.sum()),
+            'nev': None if nev is None else int(nev),
+            'mld': None if mld is None else float(mld),
+            'mr': None if mr is None else float(mr),
+            'loglstar': float(loglstar),
+            'it': int(it),
+            'trials': int(trials),
+        }
+
     def _write_checkpoint(self, it, active_u, active_v, active_logl,
                           active_derived, saved_v, saved_logl, saved_logwt,
                           logz, h, logvol, fraction_remain, strategy,
-                          expired, controller=None):
+                          expired, controller=None, pool_state=None):
         """Snapshot checkpoint state on the calling thread (the live
         arrays mutate immediately after) and queue the file IO on the
         serial background writer — checkpoint IO measured ~1 s of a warm
@@ -888,6 +929,7 @@ class NestedSampler(Sampler):
             'params': (self.trainer.host_params()
                        if self.trainer.params is not None else None),
             'trainer_state': self.trainer.snapshot_state(),
+            'pool_state': pool_state,
             'meta': {'logz': logz, 'h': h, 'logvol': logvol,
                      'ncall': self.total_calls,
                      'fraction_remain': fraction_remain,
@@ -914,6 +956,11 @@ class NestedSampler(Sampler):
                     pickle.dump(snap['params'], f)
             with open(os.path.join(ck, 'trainer_state.pkl'), 'wb') as f:
                 pickle.dump(snap['trainer_state'], f)
+            # Unversioned (overwritten per write) but stamped with `it`:
+            # an older-marker fallback load ignores a mismatched file and
+            # degrades to the statistically-exact resume semantics.
+            with open(os.path.join(ck, 'pool_state.pkl'), 'wb') as f:
+                pickle.dump(snap['pool_state'], f)
             with open(os.path.join(ck, 'checkpoint_%s.txt' % it),
                       'w') as f:
                 json.dump(snap['meta'], f)
@@ -952,10 +999,26 @@ class NestedSampler(Sampler):
         # per-rank MPI accounting (nested.py:182-183), no division by
         # process count.
         self.total_calls = int(data['ncall'])
+        # In-flight pool + compact prefetch buffers (unversioned file
+        # stamped with `it`: a stale one from a newer interrupted write is
+        # ignored, degrading to statistically-exact resume).
+        pool_state = None
+        ps_path = os.path.join(ck, 'pool_state.pkl')
+        if os.path.exists(ps_path):
+            try:
+                with open(ps_path, 'rb') as f:
+                    ps = pickle.load(f)
+                if ps is not None and ps.get('it') == it:
+                    pool_state = ps
+            except Exception as e:
+                self.logger.warning(
+                    'Could not restore pool state (%s); resume is '
+                    'statistically (not bit-) exact' % e)
         return (it, active_u, active_v, active_logl, active_derived,
                 saved_v, saved_logl, saved_logwt, data['logz'], data['h'],
                 data['logvol'], data['fraction_remain'], data['strategy'],
-                data['expired_strategies'], data.get('controller'))
+                data['expired_strategies'], data.get('controller'),
+                pool_state)
 
     # Canonical method keys for fixed-size multi-process encoding.
     _METHODS = ('rejection_prior', 'rejection_flow', 'density_flow', 'mcmc')
@@ -986,15 +1049,17 @@ class NestedSampler(Sampler):
         n_live, d, nd = self.num_live_points, self.x_dim, self.num_derived
         npar = self.num_params
         # layout: [flags/evidence 8][strategy MAXS][expired MAXS]
-        #         [controller 15 + ncs tail 20][trainer best_val/iters 2]
-        NCTRL, NTAIL = 15, 20
-        header = np.full(8 + 2 * MAXS + NCTRL + NTAIL + 2, -1.0,
+        #         [controller 14 + ncs tail 20]
+        #         [trainer best_val/iters 2][pool-state byte length 1]
+        NCTRL, NTAIL = 14, 20
+        header = np.full(8 + 2 * MAXS + NCTRL + NTAIL + 3, -1.0,
                          np.float64)
         coff = 8 + 2 * MAXS
+        pool_bytes = b''
         if state is not None:
             (it, active_u, _av, active_logl, active_derived, saved_v,
              saved_logl, saved_logwt, logz, h, logvol, fraction_remain,
-             strategy, expired, controller) = state
+             strategy, expired, controller, pool_state) = state
             header[:8] = [1.0, it, self.total_calls, logz, h, logvol,
                           fraction_remain,
                           1.0 if self.trainer.params is not None else 0.0]
@@ -1005,7 +1070,7 @@ class NestedSampler(Sampler):
             if controller:
                 c = controller
                 header[coff:coff + NCTRL] = [
-                    1.0, 1.0 if c.get('aligned') else 0.0,
+                    1.0,
                     c.get('mcmc_scale', 0.0), c.get('cur_trials', 0),
                     c.get('mean_calls', 0.0), c.get('env_gens', 0),
                     1.0 if c.get('max_log_det_j') is not None else 0.0,
@@ -1020,6 +1085,9 @@ class NestedSampler(Sampler):
             bv = self.trainer.best_validation_loss
             header[coff + NCTRL + NTAIL] = (np.nan if bv is None else bv)
             header[coff + NCTRL + NTAIL + 1] = self.trainer.total_iters
+            if pool_state is not None:
+                pool_bytes = pickle.dumps(pool_state)
+            header[coff + NCTRL + NTAIL + 2] = len(pool_bytes)
         header = np.asarray(broadcast_exact(header))
         if header[0] < 0.5:
             return None
@@ -1072,23 +1140,22 @@ class NestedSampler(Sampler):
                    for i in header[8 + MAXS:8 + 2 * MAXS] if i >= 0]
         controller = None
         if header[coff] > 0.5:
-            tail_len = min(int(header[coff + 14]), NTAIL)
+            tail_len = min(int(header[coff + 13]), NTAIL)
             controller = {
-                'aligned': header[coff + 1] > 0.5,
-                'mcmc_scale': float(header[coff + 2]),
-                'cur_trials': int(header[coff + 3]),
-                'mean_calls': float(header[coff + 4]),
-                'env_gens': int(header[coff + 5]),
-                'max_log_det_j': (float(header[coff + 7])
-                                  if header[coff + 6] > 0.5 else None),
-                'max_r': (float(header[coff + 8])
-                          if header[coff + 6] > 0.5 else None),
-                'first_time': header[coff + 9] > 0.5,
-                'last_trained_it': int(header[coff + 10]),
-                'total_accepted': int(header[coff + 11]),
-                'total_rejected': int(header[coff + 12]),
-                'last_io_it': int(header[coff + 13]),
-                'ncs_count': int(header[coff + 14]),
+                'mcmc_scale': float(header[coff + 1]),
+                'cur_trials': int(header[coff + 2]),
+                'mean_calls': float(header[coff + 3]),
+                'env_gens': int(header[coff + 4]),
+                'max_log_det_j': (float(header[coff + 6])
+                                  if header[coff + 5] > 0.5 else None),
+                'max_r': (float(header[coff + 7])
+                          if header[coff + 5] > 0.5 else None),
+                'first_time': header[coff + 8] > 0.5,
+                'last_trained_it': int(header[coff + 9]),
+                'total_accepted': int(header[coff + 10]),
+                'total_rejected': int(header[coff + 11]),
+                'last_io_it': int(header[coff + 12]),
+                'ncs_count': int(header[coff + 13]),
                 'ncs_tail': [float(x) for x in
                              header[coff + NCTRL:coff + NCTRL + tail_len]],
             }
@@ -1097,12 +1164,21 @@ class NestedSampler(Sampler):
         ti = header[coff + NCTRL + NTAIL + 1]
         if ti >= 0:
             self.trainer.total_iters = int(ti)
+        # In-flight pool + prefetch buffers: pickled on rank 0, shipped as
+        # a uint8 payload (ints ride broadcast collectives exactly).
+        n_pool = int(header[coff + NCTRL + NTAIL + 2])
+        pool_state = None
+        if n_pool > 0:
+            payload = (np.frombuffer(pool_bytes, np.uint8)
+                       if state is not None else np.zeros(n_pool, np.uint8))
+            payload = np.asarray(mh.broadcast_one_to_all(payload))
+            pool_state = pickle.loads(payload.tobytes())
         active_v = np.asarray(self.transform(active_u), dtype=np.float64)
         return (it, active_u, active_v, active_logl, active_derived,
                 [np.asarray(r) for r in saved_v], list(saved_logl),
                 list(saved_logwt), float(header[3]), float(header[4]),
                 float(header[5]), float(header[6]), strategy, expired,
-                controller)
+                controller, pool_state)
 
     def _load_checkpoint_local(self):
         """Resume scan (reference nested.py:166-195), extended with flow

@@ -234,6 +234,32 @@ class Trainer:
 
     # ----------------------------------------------------------------- init
 
+    def _canonical_placement(self, tree):
+        """Pin a params/opt-state pytree to a canonical device placement.
+
+        Under a mesh, XLA partitions a jitted program according to its
+        INPUT shardings — so the same train step fed params that came from
+        a fresh init, a previous train's output, or a checkpoint restore
+        can reduce in different orders and differ in the last ulp. That
+        context-dependence breaks bit-reproducibility guarantees
+        (resume-vs-uninterrupted, repeat-run equality), so every boundary
+        that rebinds params/opt state routes through this: replicated
+        under the mesh, untouched otherwise.
+
+        Only applies when every mesh device is addressable from this
+        process: on a multi-process (jax.distributed) mesh, a host-side
+        device_put onto the global mesh is a coordinated operation, and
+        rank-0-only call sites (checkpoint restore) would deadlock the
+        other ranks — there the broadcast syncs in the samplers' resume
+        paths keep params consistent instead."""
+        if self.mesh is None or tree is None:
+            return tree
+        local = set(jax.local_devices())
+        if not set(self.mesh.devices.flatten()).issubset(local):
+            return tree
+        from nnest_tpu.parallel.mesh import replicated
+        return jax.device_put(tree, replicated(self.mesh))
+
     def ensure_init(self, samples=None):
         """Initialize flow params (data-dependent ActNorm init when training
         data is available)."""
@@ -247,7 +273,8 @@ class Trainer:
         # of tiny dispatches — ~45 s over a remote-TPU tunnel vs <1 s jitted.
         init_fn = _shared_jit(self._config_key, 'init',
                               lambda: jax.jit(self.model.init))
-        self.params = init_fn(self._next_key(), x)
+        self.params = self._canonical_placement(
+            init_fn(self._next_key(), x))
         self._init_optimizer()
 
     def _init_optimizer(self):
@@ -261,7 +288,8 @@ class Trainer:
                 optax.stateless(lambda u, p: jax.tree.map(jnp.zeros_like, u)),
                 jax.tree.map(lambda m: not m, mask)),
         )
-        self._opt_state = self._opt.init(self.params)
+        self._opt_state = self._canonical_placement(
+            self._opt.init(self.params))
 
     def num_params(self):
         self.ensure_init()
@@ -481,8 +509,8 @@ class Trainer:
                 self.log_scalar('loss', float(val_trace[e]),
                                 base_iter + e + 1)
 
-        self.params = best_params
-        self._opt_state = opt_state
+        self.params = self._canonical_placement(best_params)
+        self._opt_state = self._canonical_placement(opt_state)
         self.best_validation_epoch = bi + 1 if bi >= 0 else 0
         self.best_validation_loss = float(best_val)
 
@@ -583,7 +611,8 @@ class Trainer:
     def load(self, path):
         with open(path, 'rb') as f:
             tree = pickle.load(f)
-        self.params = jax.tree.map(jnp.asarray, tree)
+        self.params = self._canonical_placement(
+            jax.tree.map(jnp.asarray, tree))
         self._init_optimizer()
 
     def snapshot_state(self):
@@ -614,7 +643,8 @@ class Trainer:
         """Inverse of :meth:`snapshot_state`. Call AFTER ``load()`` —
         load() re-initializes the optimizer state this overwrites."""
         if snap.get('opt_state') is not None:
-            self._opt_state = jax.tree.map(jnp.asarray, snap['opt_state'])
+            self._opt_state = self._canonical_placement(
+                jax.tree.map(jnp.asarray, snap['opt_state']))
         key = np.asarray(snap['key'])
         self._key = jax.random.wrap_key_data(key.astype(np.asarray(
             jax.random.key_data(self._key)).dtype))
