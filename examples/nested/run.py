@@ -56,9 +56,14 @@ def main(args):
         num_live_points=args.num_live_points, hidden_dim=args.hidden_dim,
         num_layers=args.num_layers, num_blocks=args.num_blocks,
         num_slow=args.num_slow, base_dist=base_dist, scale=args.scale,
-        flow=args.flow, seed=args.seed)
+        flow=args.flow, seed=args.seed,
+        # --resume pins the run dir (no runN suffix) and continues from
+        # its newest checkpoint; resume is BIT-EXACT — the finished run
+        # equals the uninterrupted one (see README: checkpoint/resume)
+        append_run_num=not args.resume, resume=args.resume)
     start = time.time()
     sampler.run(train_iters=args.train_iters, mcmc_steps=args.mcmc_steps,
+                max_iters=args.max_iters,
                 volume_switch=args.switch, jitter=args.jitter,
                 mcmc_num_chains=args.mcmc_num_chains,
                 mcmc_dynamic_step_size=not args.mcmc_fixed_step_size,
@@ -102,4 +107,10 @@ if __name__ == '__main__':
     parser.add_argument('--mcmc_gen_batch', type=int, default=8)
     parser.add_argument('--rejection_gen_batch', type=int, default=8)
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--resume', action='store_true',
+                        help='fixed run dir + bit-exact resume from its '
+                             'newest checkpoint')
+    parser.add_argument('--max_iters', type=int, default=1000000,
+                        help='stop after N iterations (checkpointed; '
+                             're-run with --resume to continue exactly)')
     main(parser.parse_args())
