@@ -234,9 +234,11 @@ class EnsembleSampler(Sampler):
                 with open(tpath, 'rb') as f:
                     snap = pickle.load(f)
                 if snap['params'] is not None:
-                    self.trainer.params = jax.tree.map(
-                        jnp.asarray, snap['params'])
-                    self.trainer._init_optimizer()
+                    # load_params routes through _canonical_placement: a
+                    # default-device rebind under a mesh would compile a
+                    # differently-partitioned train step and drift in the
+                    # last ulp vs the uninterrupted run.
+                    self.trainer.load_params(snap['params'])
                 self.trainer.restore_state(snap['state'])
             except Exception as e:
                 self.logger.warning(

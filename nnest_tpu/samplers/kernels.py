@@ -520,8 +520,11 @@ class LatentKernels:
         The device stops early (before *starting* another generation) when
         consumption crosses an ``update_interval`` iteration boundary —
         the host may retrain the flow there (``nested.py:300-320``), and
-        any later generation must see the new params — or when ``it``
-        exceeds ``max_iters``. Generations the host never consumes (dlogz
+        any later generation must see the new params. ``max_iters`` is
+        deliberately NOT a device stop rule (pure host-side terminator:
+        stopping on it would change the key stream, and a run killed by
+        max_iters must checkpoint identically to a crash there).
+        Generations the host never consumes (dlogz
         termination mid-buffer) are discarded: their likelihood calls are
         never added to ``total_calls``, matching the unfused accounting.
 
@@ -669,8 +672,10 @@ class LatentKernels:
           mirror of the host's 20-entry mean-calls window exceeds
           ``expiry_thr`` = 0.9 x the f64 expiry threshold — f32 rounding
           is ~1e-7 relative, so the host's true expiry can never fire
-          while the proxy is below threshold (``nested.py:345-348``);
-        - ``it > max_iters``.
+          while the proxy is below threshold (``nested.py:345-348``).
+
+        ``max_iters`` is deliberately NOT a device stop rule (host-only
+        terminator; see the mcmc impl note on key-stream invariance).
 
         ``window_vals``/``window_count`` mirror the host's ``ncs`` window
         as a ring keyed on absolute push index (vals[i % 20]); each
@@ -868,8 +873,9 @@ class LatentKernels:
         max-folded into the carried maxima or replaces them outright on
         the ``cache_interval`` cadence (exact integer counter, identical
         to the host's ``env_gens`` bookkeeping). Stop rules are the
-        prior-phase set (integer ladder, f32 expiry proxy at 0.9x,
-        ``it > max_iters``) plus the ``update_interval`` boundary crossing
+        prior-phase set (integer ladder, f32 expiry proxy at 0.9x —
+        ``max_iters`` is again host-only) plus the
+        ``update_interval`` boundary crossing
         — flow mode retrains there, which invalidates both the flow
         params and the envelope, so no later generation may be prefetched.
 

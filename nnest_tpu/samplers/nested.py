@@ -277,6 +277,8 @@ class NestedSampler(Sampler):
                 if 'mean_jump' in pool_state['pool']:
                     pool['mean_jump'] = float(
                         pool_state['pool']['mean_jump'])
+                if 'stats' in pool_state['pool']:
+                    pool['stats'] = pool_state['pool']['stats']
                 pool_pos = 0   # remainder was saved from pool_pos onward
             mcmc_gen_buffer = list(pool_state.get('mcmc_buf') or [])
             prior_gen_buffer = list(pool_state.get('prior_buf') or [])
@@ -290,6 +292,17 @@ class NestedSampler(Sampler):
                              if k in pool}
                 if 'mean_jump' in pool:
                     remainder['mean_jump'] = float(pool['mean_jump'])
+                if 'stats' in pool:
+                    # Window-level kernel stats (acceptance/ESS/jump):
+                    # results.csv rows written after a mid-pool resume
+                    # must match the uninterrupted run's (they report the
+                    # last kernel window, not lifetime counters).
+                    st = pool['stats']
+                    remainder['stats'] = {
+                        'ess': np.array(st['ess']),
+                        'acceptance': float(st['acceptance']),
+                        'mean_jump': float(st['mean_jump']),
+                    }
             return {
                 'it': int(it),
                 'need_pool': bool(need_pool),
@@ -706,8 +719,7 @@ class NestedSampler(Sampler):
                     pool = {'u': u_f[moved], 'logl': logl_f[moved],
                             'derived': derived_f[moved],
                             'mean_jump': mean_jump,
-                            'stats': self._last_kernel_stats,
-                            'chains': self._last_diag_chains}
+                            'stats': self._last_kernel_stats}
                     pool_pos = 0
                     need_pool = False
 
@@ -950,17 +962,23 @@ class NestedSampler(Sampler):
                         snap[name])
             for name in ('saved_v', 'saved_logl', 'saved_logwt'):
                 np.save(os.path.join(ck, '%s.npy' % name), snap[name])
-            np.save(os.path.join(ck, 'rng_key.npy'), snap['rng_key'])
-            if snap['params'] is not None:
-                with open(os.path.join(ck, 'flow_params.pkl'), 'wb') as f:
-                    pickle.dump(snap['params'], f)
-            with open(os.path.join(ck, 'trainer_state.pkl'), 'wb') as f:
-                pickle.dump(snap['trainer_state'], f)
-            # Unversioned (overwritten per write) but stamped with `it`:
-            # an older-marker fallback load ignores a mismatched file and
-            # degrades to the statistically-exact resume semantics.
-            with open(os.path.join(ck, 'pool_state.pkl'), 'wb') as f:
-                pickle.dump(snap['pool_state'], f)
+            # PRNG key + flow params + trainer state + in-flight pool
+            # travel as ONE it-stamped file written atomically (tmp +
+            # os.replace): they are only bit-exact-valid TOGETHER with the
+            # checkpoint_<it> marker of the same iteration. Separate
+            # unversioned files could pair iteration-N+1 state with the
+            # iteration-N marker after a mid-write crash; atomic replace
+            # guarantees the file is always one complete snapshot, and the
+            # `it` stamp tells the loader whether it matches the marker
+            # (mismatch degrades to statistically-exact resume).
+            es_path = os.path.join(ck, 'exact_state.pkl')
+            with open(es_path + '.tmp', 'wb') as f:
+                pickle.dump({'it': it,
+                             'rng_key': snap['rng_key'],
+                             'params': snap['params'],
+                             'trainer_state': snap['trainer_state'],
+                             'pool_state': snap['pool_state']}, f)
+            os.replace(es_path + '.tmp', es_path)
             with open(os.path.join(ck, 'checkpoint_%s.txt' % it),
                       'w') as f:
                 json.dump(snap['meta'], f)
@@ -999,21 +1017,7 @@ class NestedSampler(Sampler):
         # per-rank MPI accounting (nested.py:182-183), no division by
         # process count.
         self.total_calls = int(data['ncall'])
-        # In-flight pool + compact prefetch buffers (unversioned file
-        # stamped with `it`: a stale one from a newer interrupted write is
-        # ignored, degrading to statistically-exact resume).
-        pool_state = None
-        ps_path = os.path.join(ck, 'pool_state.pkl')
-        if os.path.exists(ps_path):
-            try:
-                with open(ps_path, 'rb') as f:
-                    ps = pickle.load(f)
-                if ps is not None and ps.get('it') == it:
-                    pool_state = ps
-            except Exception as e:
-                self.logger.warning(
-                    'Could not restore pool state (%s); resume is '
-                    'statistically (not bit-) exact' % e)
+        pool_state = self._restore_exact_state(ck, it)
         return (it, active_u, active_v, active_logl, active_derived,
                 saved_v, saved_logl, saved_logwt, data['logz'], data['h'],
                 data['logvol'], data['fraction_remain'], data['strategy'],
@@ -1201,8 +1205,59 @@ class NestedSampler(Sampler):
                 self.logger.warning(
                     'Checkpoint %d unusable (%s); trying an older one'
                     % (it, e))
-        if state is None:
+        return state
+
+    def _restore_exact_state(self, ck, it):
+        """Restore PRNG key / flow params / trainer state from the atomic
+        ``exact_state.pkl`` and return the in-flight pool state (or None).
+
+        Called at the end of :meth:`_load_one_checkpoint`, after the
+        marker + live/dead arrays validated. The file is written with
+        tmp+``os.replace`` so it is always one complete snapshot; its
+        ``it`` stamp decides the guarantee level:
+
+        - stamp == marker iteration → bit-exact resume (pool restored);
+        - stamp != marker (crash landed between the exact-state replace
+          and the marker write, or we fell back to an older marker) →
+          the key/params/trainer state are still VALID (any fixed flow
+          keeps the latent kernels exact; the key is a fresh valid PRNG
+          state) so they are restored, but the pool is discarded and the
+          resume is only statistically exact.
+
+        Legacy per-file checkpoints (``rng_key.npy``/``flow_params.pkl``/
+        ``trainer_state.pkl``/``pool_state.pkl``) from older versions are
+        loaded when ``exact_state.pkl`` is absent."""
+        es_path = os.path.join(ck, 'exact_state.pkl')
+        if os.path.exists(es_path):
+            try:
+                with open(es_path, 'rb') as f:
+                    es = pickle.load(f)
+            except Exception as e:
+                self.logger.warning(
+                    'Could not read exact state (%s); resume is '
+                    'statistically (not bit-) exact' % e)
+                return None
+            try:
+                self._key = jax.random.wrap_key_data(
+                    np.asarray(es['rng_key']))
+                if es.get('params') is not None:
+                    self.trainer.load_params(es['params'])
+                # Restored AFTER load_params, which resets the optimizer.
+                if es.get('trainer_state') is not None:
+                    self.trainer.restore_state(es['trainer_state'])
+            except Exception as e:
+                self.logger.warning(
+                    'Could not restore trainer/PRNG state (%s); resume '
+                    'is statistically (not bit-) exact' % e)
+                return None
+            if es.get('it') == it:
+                return es.get('pool_state')
+            self.logger.warning(
+                'Exact state is from iteration %s but the newest usable '
+                'checkpoint is %d; resume is statistically (not bit-) '
+                'exact' % (es.get('it'), it))
             return None
+        # ---- legacy per-file format (pre-atomic checkpoints) ----
         key_path = os.path.join(ck, 'rng_key.npy')
         if os.path.exists(key_path):
             try:
@@ -1216,10 +1271,6 @@ class NestedSampler(Sampler):
             except Exception as e:
                 self.logger.warning('Could not restore flow params (%s); '
                                     'flow will retrain' % e)
-        # Cross-retrain trainer state (Adam moments, trainer PRNG key,
-        # early-stop bookkeeping) — restored AFTER load(), which resets
-        # the optimizer. Absent/corrupt file degrades to the historical
-        # statistically-exact (not bit-exact) resume.
         tstate_path = os.path.join(ck, 'trainer_state.pkl')
         if os.path.exists(tstate_path):
             try:
@@ -1229,4 +1280,15 @@ class NestedSampler(Sampler):
                 self.logger.warning(
                     'Could not restore trainer state (%s); resume is '
                     'statistically (not bit-) exact' % e)
-        return state
+        ps_path = os.path.join(ck, 'pool_state.pkl')
+        if os.path.exists(ps_path):
+            try:
+                with open(ps_path, 'rb') as f:
+                    ps = pickle.load(f)
+                if ps is not None and ps.get('it') == it:
+                    return ps
+            except Exception as e:
+                self.logger.warning(
+                    'Could not restore pool state (%s); resume is '
+                    'statistically (not bit-) exact' % e)
+        return None

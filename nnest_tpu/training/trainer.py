@@ -610,7 +610,14 @@ class Trainer:
 
     def load(self, path):
         with open(path, 'rb') as f:
-            tree = pickle.load(f)
+            self.load_params(pickle.load(f))
+
+    def load_params(self, tree):
+        """Rebind flow params from a host pytree. Every params rebind must
+        route through ``_canonical_placement`` (replicated device layout) —
+        default-device placement compiles a differently-partitioned program
+        whose reductions can differ in the last ulp, breaking bit-exact
+        resume equality."""
         self.params = self._canonical_placement(
             jax.tree.map(jnp.asarray, tree))
         self._init_optimizer()

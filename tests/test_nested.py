@@ -9,6 +9,7 @@ coverage.
 
 import math
 import os
+import pickle
 
 import numpy as np
 import pytest
@@ -118,10 +119,11 @@ def test_bit_exact_resume(tmp_path, volume_switch):
     assert final(sC) == final(sA)
 
 
-def test_corrupt_trainer_state_degrades_gracefully(tmp_path):
-    """A truncated trainer_state.pkl must not brick resume: the run
+def test_corrupt_exact_state_degrades_gracefully(tmp_path):
+    """A truncated exact_state.pkl must not brick resume: the run
     degrades to the historical statistically-exact semantics (fresh
-    optimizer/trainer key) and completes with sane evidence."""
+    PRNG key/optimizer, flow retrains) and completes with sane
+    evidence."""
     like = Gaussian(2, 0.0, lim=3)
     log_dir = str(tmp_path / 'tstate')
     s1 = NestedSampler(2, like, transform=lambda x: 3 * x,
@@ -129,13 +131,82 @@ def test_corrupt_trainer_state_degrades_gracefully(tmp_path):
                        append_run_num=False, resume=True, seed=7)
     s1.run(train_iters=50, max_iters=120, log_interval=50, dlogz=0.1)
     with open(os.path.join(s1.log_dir, 'checkpoint',
-                           'trainer_state.pkl'), 'wb') as f:
+                           'exact_state.pkl'), 'wb') as f:
         f.write(b'\x80corrupt')
     s2 = NestedSampler(2, like, transform=lambda x: 3 * x,
                        num_live_points=100, log_dir=log_dir,
                        append_run_num=False, resume=True, seed=8)
     s2.run(train_iters=50, log_interval=50, dlogz=0.1)
     assert abs(s2.logz + 3.589) <= 0.6
+
+
+def test_exact_state_stamp_mismatch_degrades(tmp_path):
+    """A crash between the exact_state.pkl replace and the marker write
+    pairs a NEWER exact state with an older marker. The loader must
+    detect the stamp mismatch, keep the (still valid) key/flow/trainer
+    state, discard the pool, and NOT claim bit-exactness."""
+    like = Gaussian(2, 0.0, lim=3)
+    log_dir = str(tmp_path / 'stamp')
+    s1 = NestedSampler(2, like, transform=lambda x: 3 * x,
+                       num_live_points=100, log_dir=log_dir,
+                       append_run_num=False, resume=True, seed=7)
+    s1.run(train_iters=50, max_iters=120, log_interval=50, dlogz=0.1)
+    ck = os.path.join(s1.log_dir, 'checkpoint')
+    es_path = os.path.join(ck, 'exact_state.pkl')
+    with open(es_path, 'rb') as f:
+        es = pickle.load(f)
+    es['it'] = es['it'] + 1   # simulate: exact state ahead of the marker
+    with open(es_path, 'wb') as f:
+        pickle.dump(es, f)
+    s2 = NestedSampler(2, like, transform=lambda x: 3 * x,
+                       num_live_points=100, log_dir=log_dir,
+                       append_run_num=False, resume=True, seed=8)
+    state = s2._load_checkpoint()
+    assert state is not None
+    assert state[-1] is None          # pool state discarded
+    # key/trainer state still restored from the mismatched (valid) file
+    import jax
+    assert np.array_equal(np.asarray(jax.random.key_data(s2._key)),
+                          np.asarray(es['rng_key']))
+    s2.run(train_iters=50, log_interval=50, dlogz=0.1)
+    assert abs(s2.logz + 3.589) <= 0.6
+
+
+def test_legacy_checkpoint_format_restores(tmp_path):
+    """Pre-atomic checkpoints (separate rng_key.npy / flow_params.pkl /
+    trainer_state.pkl / pool_state.pkl) still restore: the loader falls
+    back to the per-file format when exact_state.pkl is absent."""
+    like = Gaussian(2, 0.0, lim=3)
+    log_dir = str(tmp_path / 'legacy')
+    s1 = NestedSampler(2, like, transform=lambda x: 3 * x,
+                       num_live_points=100, log_dir=log_dir,
+                       append_run_num=False, resume=True, seed=7)
+    s1.run(train_iters=50, max_iters=120, log_interval=50, dlogz=0.1)
+    ck = os.path.join(s1.log_dir, 'checkpoint')
+    es_path = os.path.join(ck, 'exact_state.pkl')
+    with open(es_path, 'rb') as f:
+        es = pickle.load(f)
+    os.remove(es_path)
+    np.save(os.path.join(ck, 'rng_key.npy'), np.asarray(es['rng_key']))
+    if es['params'] is not None:
+        with open(os.path.join(ck, 'flow_params.pkl'), 'wb') as f:
+            pickle.dump(es['params'], f)
+    with open(os.path.join(ck, 'trainer_state.pkl'), 'wb') as f:
+        pickle.dump(es['trainer_state'], f)
+    with open(os.path.join(ck, 'pool_state.pkl'), 'wb') as f:
+        pickle.dump(es['pool_state'], f)
+    s2 = NestedSampler(2, like, transform=lambda x: 3 * x,
+                       num_live_points=100, log_dir=log_dir,
+                       append_run_num=False, resume=True, seed=99)
+    state = s2._load_checkpoint()
+    assert state is not None
+    import jax
+    assert np.array_equal(np.asarray(jax.random.key_data(s2._key)),
+                          np.asarray(es['rng_key']))
+    # pool state restored through the legacy stamped file too
+    if es['pool_state'] is not None:
+        assert state[-1] is not None and \
+            state[-1]['it'] == es['pool_state']['it']
 
 
 def test_corrupted_checkpoint_falls_back(tmp_path):
