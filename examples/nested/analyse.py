@@ -55,16 +55,27 @@ def main(args):
             if not runs:
                 continue
             print('\n--------\nDim: %s (%d runs)\n--------' % (d, len(runs)))
-            logzs, dlogzs, nlikes, ess = [], [], [], []
+            logzs, dlogzs, nlikes, ess, ins_ps = [], [], [], [], []
             for log_dir, params in runs:
                 fpath = os.path.join(log_dir, 'results', 'final.csv')
                 cpath = os.path.join(log_dir, 'chains', 'chain.txt')
+                rpath = os.path.join(log_dir, 'results',
+                                     'insertion_ranks.npy')
                 if params.get('sampler') == 'nested' and \
                         os.path.exists(fpath):
                     res = read_final_csv(fpath)
-                    print('  %s: logz=%.3f±%.3f ncall=%d' % (
+                    ins = ''
+                    if os.path.exists(rpath):
+                        from nnest_tpu.utils.evaluation import insertion_ks
+                        ranks = np.load(rpath)
+                        _, p = insertion_ks(
+                            ranks, int(params.get('num_live_points',
+                                                  max(ranks.max() + 1, 1))))
+                        ins_ps.append(p)
+                        ins = ' insertion_p=%.3g' % p
+                    print('  %s: logz=%.3f±%.3f ncall=%d%s' % (
                         log_dir, res['logz'], res['logzerr'],
-                        int(res['ncall'])))
+                        int(res['ncall']), ins))
                     logzs.append(res['logz'])
                     dlogzs.append(res['logzerr'])
                     nlikes.append(res['ncall'])
@@ -84,6 +95,21 @@ def main(args):
                 if ess:
                     print('Posterior ESS: %.0f +/- %.0f' % (
                         np.mean(ess), np.std(ess)))
+                if ins_ps:
+                    k = len(ins_ps)
+                    try:
+                        # Fisher's method: -2 sum(ln p) ~ chi2(2k) under
+                        # the (uniform-p) null, independent runs.
+                        from scipy.stats import chi2
+                        stat = -2.0 * np.sum(
+                            np.log(np.maximum(ins_ps, 1e-300)))
+                        comb = 'combined (Fisher) %.3g' % chi2.sf(stat,
+                                                                  2 * k)
+                    except ImportError:
+                        comb = 'Bonferroni min %.3g' % min(
+                            np.min(ins_ps) * k, 1.0)
+                    print('Insertion p: %s (min %.3g over %d runs)' % (
+                        comb, np.min(ins_ps), k))
 
 
 def _triangle(samples, weights, log_dir):

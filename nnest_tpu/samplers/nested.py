@@ -76,6 +76,11 @@ class NestedSampler(Sampler):
         prior = UniformPrior(x_dim, -1.0, 1.0)
         prior.seed(seed)
         self.sampler = 'nested'
+        # Insertion-index diagnostic results (populated by run()).
+        self.insertion_ranks = np.empty(0, dtype=np.int64)
+        self.insertion_statistic = None
+        self.insertion_p_value = None
+        self.insertion_rolling_p_value = None
 
         super().__init__(
             x_dim, loglike, transform=transform, prior=prior,
@@ -203,8 +208,15 @@ class NestedSampler(Sampler):
             self._write_checkpoint(it, active_u, active_v, active_logl,
                                    active_derived, saved_v, saved_logl,
                                    saved_logwt, logz, h, logvol,
-                                   fraction_remain, strategy, expired)
+                                   fraction_remain, strategy, expired,
+                                   insertion_ranks=[])
 
+        # Insertion-rank history for the uniformity diagnostic — restored
+        # from the checkpoint on (bit- or statistically-) exact resume so
+        # the end-of-run KS test covers the whole run.
+        insertion_ranks = ([int(x) for x in
+                            getattr(self, '_restored_insertion_ranks', [])]
+                           if state is not None else [])
         first_time = True
         last_trained_it = -1
         need_pool = True
@@ -736,6 +748,17 @@ class NestedSampler(Sampler):
                     if pool_pos == n_rows:
                         need_pool = True
                     if pool['logl'][ib] > loglstar:
+                        # Insertion-index diagnostic (Fowlie, Handley & Su
+                        # 2020, arXiv:2006.03371; absent in the reference):
+                        # rank of the replacement among the surviving
+                        # n_live-1 points — Uniform{0..n_live-1} under
+                        # exact constrained sampling. The -1 excludes the
+                        # dead point (active_logl[worst] == loglstar <
+                        # new logl). Computed before the in-place
+                        # replacement below; f64 host arrays, lockstep
+                        # across processes.
+                        insertion_ranks.append(int(
+                            np.sum(active_logl < pool['logl'][ib])) - 1)
                         active_u[worst] = u[ib, :]
                         active_v[worst] = self.transform(
                             active_u[worst])[0]
@@ -803,7 +826,8 @@ class NestedSampler(Sampler):
                                 saved_logwt, logz, h, logvol,
                                 fraction_remain, strategy, expired,
                                 controller=controller_snapshot(),
-                                pool_state=pool_state_snapshot())
+                                pool_state=pool_state_snapshot(),
+                                insertion_ranks=insertion_ranks)
                         with self.timers.time('chain_io'):
                             self._save_samples(self.samples, self.loglikes,
                                                weights=self.weights)
@@ -840,7 +864,24 @@ class NestedSampler(Sampler):
         self.weights = np.exp(np.asarray(saved_logwt) - logz)
         self.loglikes = np.asarray(saved_logl)
 
+        # Insertion-index uniformity diagnostic (arXiv:2006.03371): ranks
+        # are lockstep-identical on every process, so compute everywhere
+        # and only write/log on the primary. Low p flags under-mixed
+        # constrained sampling (the failure mode that biases logZ with
+        # deceptively small error bars); the rolling variant catches
+        # failures confined to one likelihood regime.
+        from nnest_tpu.utils.evaluation import (insertion_ks,
+                                                rolling_insertion_ks)
+        self.insertion_ranks = np.asarray(insertion_ranks, dtype=np.int64)
+        self.insertion_statistic, self.insertion_p_value = insertion_ks(
+            self.insertion_ranks, self.num_live_points)
+        self.insertion_rolling_p_value, _ = rolling_insertion_ks(
+            self.insertion_ranks, self.num_live_points)
+
         if self.single_or_primary_process and self.logs is not None:
+            np.save(os.path.join(self.logs['results'],
+                                 'insertion_ranks.npy'),
+                    self.insertion_ranks.astype(np.uint32))
             with open(os.path.join(self.logs['results'], 'final.csv'),
                       'w') as f:
                 w = csv.writer(f)
@@ -853,6 +894,15 @@ class NestedSampler(Sampler):
                 'niter: %d\n ncall: %d\n nsamples: %d\n logz: %6.3f +/- '
                 '%6.3f\n h: %6.3f' % (it + 1, self.total_calls,
                                       len(saved_v), logz, self.logzerr, h))
+            self.logger.info(
+                'Insertion-index KS: D [%5.4f] p [%5.4g] rolling p '
+                '[%5.4g] over [%d] ranks%s' % (
+                    self.insertion_statistic, self.insertion_p_value,
+                    self.insertion_rolling_p_value,
+                    self.insertion_ranks.size,
+                    ' — WARNING: non-uniform insertion ranks suggest '
+                    'under-mixed constrained sampling; increase '
+                    'mcmc_steps' if self.insertion_p_value < 0.01 else ''))
             phases = self.timers.summary()
             if phases:
                 d = {k: round(v['total_s'], 2) for k, v in phases.items()}
@@ -915,7 +965,8 @@ class NestedSampler(Sampler):
     def _write_checkpoint(self, it, active_u, active_v, active_logl,
                           active_derived, saved_v, saved_logl, saved_logwt,
                           logz, h, logvol, fraction_remain, strategy,
-                          expired, controller=None, pool_state=None):
+                          expired, controller=None, pool_state=None,
+                          insertion_ranks=None):
         """Snapshot checkpoint state on the calling thread (the live
         arrays mutate immediately after) and queue the file IO on the
         serial background writer — checkpoint IO measured ~1 s of a warm
@@ -942,6 +993,8 @@ class NestedSampler(Sampler):
                        if self.trainer.params is not None else None),
             'trainer_state': self.trainer.snapshot_state(),
             'pool_state': pool_state,
+            'insertion_ranks': np.asarray(insertion_ranks or [],
+                                          dtype=np.uint32),
             'meta': {'logz': logz, 'h': h, 'logvol': logvol,
                      'ncall': self.total_calls,
                      'fraction_remain': fraction_remain,
@@ -977,7 +1030,9 @@ class NestedSampler(Sampler):
                              'rng_key': snap['rng_key'],
                              'params': snap['params'],
                              'trainer_state': snap['trainer_state'],
-                             'pool_state': snap['pool_state']}, f)
+                             'pool_state': snap['pool_state'],
+                             'insertion_ranks': snap['insertion_ranks']},
+                            f)
             os.replace(es_path + '.tmp', es_path)
             with open(os.path.join(ck, 'checkpoint_%s.txt' % it),
                       'w') as f:
@@ -1055,8 +1110,9 @@ class NestedSampler(Sampler):
         # layout: [flags/evidence 8][strategy MAXS][expired MAXS]
         #         [controller 14 + ncs tail 20]
         #         [trainer best_val/iters 2][pool-state byte length 1]
+        #         [insertion-rank count 1]
         NCTRL, NTAIL = 14, 20
-        header = np.full(8 + 2 * MAXS + NCTRL + NTAIL + 3, -1.0,
+        header = np.full(8 + 2 * MAXS + NCTRL + NTAIL + 4, -1.0,
                          np.float64)
         coff = 8 + 2 * MAXS
         pool_bytes = b''
@@ -1092,6 +1148,8 @@ class NestedSampler(Sampler):
             if pool_state is not None:
                 pool_bytes = pickle.dumps(pool_state)
             header[coff + NCTRL + NTAIL + 2] = len(pool_bytes)
+            header[coff + NCTRL + NTAIL + 3] = len(
+                getattr(self, '_restored_insertion_ranks', []))
         header = np.asarray(broadcast_exact(header))
         if header[0] < 0.5:
             return None
@@ -1177,6 +1235,17 @@ class NestedSampler(Sampler):
                        if state is not None else np.zeros(n_pool, np.uint8))
             payload = np.asarray(mh.broadcast_one_to_all(payload))
             pool_state = pickle.loads(payload.tobytes())
+        # Insertion-rank history: small ints, exact in f64; every process
+        # carries the full history so the end-of-run KS diagnostic is
+        # lockstep-identical.
+        n_ranks = int(header[coff + NCTRL + NTAIL + 3])
+        if n_ranks > 0:
+            rpay = (np.asarray(self._restored_insertion_ranks, np.float64)
+                    if state is not None else np.zeros(n_ranks, np.float64))
+            rpay = np.asarray(broadcast_exact(rpay))
+            self._restored_insertion_ranks = [int(x) for x in rpay]
+        else:
+            self._restored_insertion_ranks = []
         active_v = np.asarray(self.transform(active_u), dtype=np.float64)
         return (it, active_u, active_v, active_logl, active_derived,
                 [np.asarray(r) for r in saved_v], list(saved_logl),
@@ -1227,6 +1296,7 @@ class NestedSampler(Sampler):
         Legacy per-file checkpoints (``rng_key.npy``/``flow_params.pkl``/
         ``trainer_state.pkl``/``pool_state.pkl``) from older versions are
         loaded when ``exact_state.pkl`` is absent."""
+        self._restored_insertion_ranks = []
         es_path = os.path.join(ck, 'exact_state.pkl')
         if os.path.exists(es_path):
             try:
@@ -1250,6 +1320,12 @@ class NestedSampler(Sampler):
                     'Could not restore trainer/PRNG state (%s); resume '
                     'is statistically (not bit-) exact' % e)
                 return None
+            # One rank per accepted iteration (append-only), so the first
+            # `it` entries are exact even when the snapshot is from a
+            # newer interrupted iteration (stamp mismatch below).
+            self._restored_insertion_ranks = [
+                int(x) for x in
+                np.asarray(es.get('insertion_ranks', []))[:it]]
             if es.get('it') == it:
                 return es.get('pool_state')
             self.logger.warning(

@@ -100,3 +100,59 @@ def integrated_autocorr_time(x, c: float = 5.0, tol: float = 50.0):
         idx = np.argmax(window) if np.any(window) else len(taus_cum) - 1
         taus[j] = max(taus_cum[idx], 1.0)
     return taus
+
+
+def kolmogorov_pvalue(d, n):
+    """Asymptotic two-sided Kolmogorov-Smirnov p-value for statistic ``d``
+    over ``n`` samples (Stephens' small-sample correction, the same
+    approximation scipy.stats.kstest uses asymptotically). Pure numpy so
+    the sampler has no scipy runtime dependency."""
+    n = int(n)
+    if n <= 0 or d <= 0.0:
+        return 1.0
+    lam = (np.sqrt(n) + 0.12 + 0.11 / np.sqrt(n)) * float(d)
+    k = np.arange(1, 101)
+    p = 2.0 * np.sum((-1.0) ** (k - 1) * np.exp(-2.0 * (k * lam) ** 2))
+    return float(min(max(p, 0.0), 1.0))
+
+
+def insertion_ks(ranks, n_live):
+    """Insertion-index uniformity test for nested sampling (Fowlie,
+    Handley & Su 2020, arXiv:2006.03371 — NOT in the reference; this is
+    the standard check that the constrained sampler actually draws
+    uniformly within the likelihood shell). Under exact constrained
+    sampling the insertion rank of each replacement point among the
+    surviving ``n_live - 1`` live points is Uniform{0, ..., n_live-1};
+    under-mixed MCMC proposals (chains stuck near their start point)
+    skew the ranks and drive the p-value to 0.
+
+    Returns ``(D, p)``: the KS distance of ``(ranks + 0.5) / n_live``
+    from U[0,1] and its asymptotic p-value."""
+    r = np.asarray(ranks, dtype=np.float64)
+    n = r.size
+    if n == 0:
+        return 0.0, 1.0
+    u = np.sort((r + 0.5) / float(n_live))
+    i = np.arange(1, n + 1)
+    d = float(np.max(np.maximum(i / n - u, u - (i - 1) / n)))
+    return d, kolmogorov_pvalue(d, n)
+
+
+def rolling_insertion_ks(ranks, n_live, block=None):
+    """Blockwise insertion test: the whole-run KS can average away a
+    failure confined to one likelihood regime (the paper's recommended
+    refinement), so also test each consecutive block of ``block``
+    iterations (default ``n_live``) and Bonferroni-correct the smallest
+    block p-value. Returns ``(min_corrected_p, n_blocks)``."""
+    r = np.asarray(ranks, dtype=np.float64)
+    if block is None:
+        block = int(n_live)
+    block = max(int(block), 1)
+    n_blocks = max(r.size // block, 1)
+    pmin = 1.0
+    for b in range(n_blocks):
+        chunk = r[b * block:(b + 1) * block] if b < n_blocks - 1 \
+            else r[(n_blocks - 1) * block:]
+        _, p = insertion_ks(chunk, n_live)
+        pmin = min(pmin, p)
+    return float(min(pmin * n_blocks, 1.0)), n_blocks

@@ -31,7 +31,7 @@ def test_cli_and_analyse(tmp_path, capsys):
         likelihood='gaussian', log_suffix='', base_dist='', scale='',
         beta=8.0, corr=0.0, strategy='', dlogz=0.5,
         rejection_batch_size=256, seed=1, mcmc_gen_batch=8,
-        rejection_gen_batch=8)
+        rejection_gen_batch=8, resume=False, max_iters=1000000)
     run_mod.main(args)
 
     run_dir = os.path.join(str(tmp_path / 'logs'), 'gaussian', 'run1')

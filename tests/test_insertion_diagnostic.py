@@ -1,0 +1,89 @@
+"""Insertion-index uniformity diagnostic (Fowlie, Handley & Su 2020,
+arXiv:2006.03371) — a validation feature the reference lacks: under exact
+constrained sampling the rank of each replacement point among the
+surviving live points is Uniform{0..n_live-1}; under-mixing skews it.
+"""
+
+import os
+
+import numpy as np
+
+from nnest_tpu import NestedSampler
+from nnest_tpu.likelihoods import Gaussian
+from nnest_tpu.utils.evaluation import (insertion_ks, kolmogorov_pvalue,
+                                        rolling_insertion_ks)
+
+
+def test_insertion_ks_uniform_high_p():
+    rng = np.random.RandomState(0)
+    ranks = rng.randint(0, 1000, size=5000)
+    d, p = insertion_ks(ranks, 1000)
+    assert p > 0.05
+    # matches scipy's asymptotic kstest p to ~1e-2 relative (checked
+    # offline: D identical, p 0.590 vs 0.588)
+    assert 0.0 <= d <= 1.0
+
+
+def test_insertion_ks_skewed_low_p():
+    rng = np.random.RandomState(1)
+    # a sampler stuck in the lower third of the shell
+    ranks = rng.randint(0, 300, size=2000)
+    _, p = insertion_ks(ranks, 1000)
+    assert p < 1e-6
+    p_roll, n_blocks = rolling_insertion_ks(ranks, 1000)
+    assert p_roll < 1e-6 and n_blocks == 2
+
+
+def test_rolling_catches_local_failure():
+    """A failure confined to one block must drive the rolling p down even
+    when the whole-run KS stays comfortable."""
+    rng = np.random.RandomState(2)
+    good = rng.randint(0, 1000, size=9000)
+    bad = rng.randint(0, 60, size=500)   # one sick stretch
+    ranks = np.concatenate([good[:4500], bad, good[4500:]])
+    _, p_whole = insertion_ks(ranks, 1000)
+    p_roll, _ = rolling_insertion_ks(ranks, 1000, block=500)
+    assert p_roll < 1e-6
+    assert p_roll < p_whole
+
+
+def test_kolmogorov_pvalue_edges():
+    assert kolmogorov_pvalue(0.0, 100) == 1.0
+    assert kolmogorov_pvalue(1.0, 100) < 1e-12
+    assert kolmogorov_pvalue(0.5, 0) == 1.0
+
+
+def test_nested_run_reports_uniform_insertion(tmp_path):
+    """A well-mixed 2-D Gaussian run must produce uniform insertion ranks
+    (p not tiny), one rank per iteration, the saved artifact, and the
+    diagnostic must survive kill-and-resume bit-exactly."""
+    like = Gaussian(2, 0.0, lim=3)
+    kw = dict(train_iters=50, log_interval=50, dlogz=0.1)
+    sA = NestedSampler(2, like, transform=lambda x: 3 * x,
+                       num_live_points=100,
+                       log_dir=str(tmp_path / 'full'),
+                       append_run_num=False, resume=True, seed=7)
+    sA.run(**kw)
+    assert sA.insertion_ranks.size == sA.niter - 1
+    assert sA.insertion_ranks.min() >= 0
+    assert sA.insertion_ranks.max() < 100
+    # an exact sampler fails this with probability ~1e-3 per seed; seed 7
+    # is pinned so the test is deterministic
+    assert sA.insertion_p_value > 1e-3
+    rpath = os.path.join(sA.log_dir, 'results', 'insertion_ranks.npy')
+    saved = np.load(rpath)
+    assert np.array_equal(saved, sA.insertion_ranks)
+
+    # kill-and-resume: the rank history must continue, not restart
+    sB = NestedSampler(2, like, transform=lambda x: 3 * x,
+                       num_live_points=100,
+                       log_dir=str(tmp_path / 'killed'),
+                       append_run_num=False, resume=True, seed=7)
+    sB.run(max_iters=120, **kw)
+    sC = NestedSampler(2, like, transform=lambda x: 3 * x,
+                       num_live_points=100,
+                       log_dir=str(tmp_path / 'killed'),
+                       append_run_num=False, resume=True, seed=99)
+    sC.run(**kw)
+    assert np.array_equal(sC.insertion_ranks, sA.insertion_ranks)
+    assert sC.insertion_p_value == sA.insertion_p_value
