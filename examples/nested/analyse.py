@@ -56,15 +56,23 @@ def main(args):
                 continue
             print('\n--------\nDim: %s (%d runs)\n--------' % (d, len(runs)))
             logzs, dlogzs, nlikes, ess, ins_ps = [], [], [], [], []
+            boots = []
             for log_dir, params in runs:
                 fpath = os.path.join(log_dir, 'results', 'final.csv')
                 cpath = os.path.join(log_dir, 'chains', 'chain.txt')
                 rpath = os.path.join(log_dir, 'results',
                                      'insertion_ranks.npy')
+                dpath = os.path.join(log_dir, 'results',
+                                     'diagnostics.json')
                 if params.get('sampler') == 'nested' and \
                         os.path.exists(fpath):
                     res = read_final_csv(fpath)
                     ins = ''
+                    if os.path.exists(dpath):
+                        with open(dpath) as f:
+                            diag = json.load(f)
+                        if diag.get('logzerr_bootstrap') is not None:
+                            boots.append(float(diag['logzerr_bootstrap']))
                     if os.path.exists(rpath):
                         from nnest_tpu.utils.evaluation import insertion_ks
                         ranks = np.load(rpath)
@@ -110,6 +118,23 @@ def main(args):
                             np.min(ins_ps) * k, 1.0)
                     print('Insertion p: %s (min %.3g over %d runs)' % (
                         comb, np.min(ins_ps), k))
+                if len(boots) > 1 and len(boots) == len(logzs):
+                    # nestcheck-style implementation-error decomposition
+                    # (arXiv:1804.06406 sec 5): the run-to-run logZ
+                    # variance in excess of the (bootstrap-estimated)
+                    # sampling variance is implementation error —
+                    # under-mixed proposals, bounding biases, etc.
+                    var_runs = float(np.var(logzs))
+                    var_samp = float(np.mean(np.square(boots)))
+                    imp = np.sqrt(max(var_runs - var_samp, 0.0))
+                    print('Sampling error (bootstrap): %.3f; '
+                          'implementation error: %.3f%s' % (
+                              np.sqrt(var_samp), imp,
+                              ' — WARNING: implementation error '
+                              'comparable to the sampling error; '
+                              'results may be biased (try more '
+                              'mcmc_steps)' if imp > np.sqrt(var_samp)
+                              else ''))
 
 
 def _triangle(samples, weights, log_dir):

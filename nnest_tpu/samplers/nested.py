@@ -81,6 +81,7 @@ class NestedSampler(Sampler):
         self.insertion_statistic = None
         self.insertion_p_value = None
         self.insertion_rolling_p_value = None
+        self.logzerr_bootstrap = None
 
         super().__init__(
             x_dim, loglike, transform=transform, prior=prior,
@@ -209,7 +210,7 @@ class NestedSampler(Sampler):
                                    active_derived, saved_v, saved_logl,
                                    saved_logwt, logz, h, logvol,
                                    fraction_remain, strategy, expired,
-                                   insertion_ranks=[])
+                                   insertion_ranks=[], saved_slots=[])
 
         # Insertion-rank history for the uniformity diagnostic — restored
         # from the checkpoint on (bit- or statistically-) exact resume so
@@ -217,6 +218,14 @@ class NestedSampler(Sampler):
         insertion_ranks = ([int(x) for x in
                             getattr(self, '_restored_insertion_ranks', [])]
                            if state is not None else [])
+        # Dead-point thread ids (live-set slot of each death) for the
+        # bootstrap logZ error. None = unavailable (legacy checkpoint
+        # without the slot file) — the diagnostic is then skipped.
+        if state is not None:
+            rs = getattr(self, '_restored_saved_slots', None)
+            saved_slots = None if rs is None else [int(x) for x in rs]
+        else:
+            saved_slots = []
         first_time = True
         last_trained_it = -1
         need_pool = True
@@ -374,6 +383,12 @@ class NestedSampler(Sampler):
                     saved_v.append(np.array(active_v[worst], copy=True))
                 saved_logwt.append(logwt)
                 saved_logl.append(active_logl[worst])
+                if saved_slots is not None:
+                    # Thread id for the bootstrap error estimator: with
+                    # in-place replacement the live-set SLOT is exactly
+                    # the single-live-point thread lineage (Higson et al.
+                    # 2019 decomposition).
+                    saved_slots.append(int(worst))
                 accept_point = False
 
             # Strategy ladder (nested.py:300-309).
@@ -827,7 +842,8 @@ class NestedSampler(Sampler):
                                 fraction_remain, strategy, expired,
                                 controller=controller_snapshot(),
                                 pool_state=pool_state_snapshot(),
-                                insertion_ranks=insertion_ranks)
+                                insertion_ranks=insertion_ranks,
+                                saved_slots=saved_slots)
                         with self.timers.time('chain_io'):
                             self._save_samples(self.samples, self.loglikes,
                                                weights=self.weights)
@@ -848,6 +864,8 @@ class NestedSampler(Sampler):
                 saved_v.append(np.array(active_v[i]))
             saved_logwt.append(logwt)
             saved_logl.append(active_logl[i])
+            if saved_slots is not None:
+                saved_slots.append(i)   # slot i's final point closes thread i
 
         # join any in-flight async triptych render and background
         # checkpoint writes before declaring the run (and its artifacts)
@@ -870,18 +888,41 @@ class NestedSampler(Sampler):
         # constrained sampling (the failure mode that biases logZ with
         # deceptively small error bars); the rolling variant catches
         # failures confined to one likelihood regime.
-        from nnest_tpu.utils.evaluation import (insertion_ks,
+        from nnest_tpu.utils.evaluation import (bootstrap_logz_error,
+                                                insertion_ks,
                                                 rolling_insertion_ks)
         self.insertion_ranks = np.asarray(insertion_ranks, dtype=np.int64)
         self.insertion_statistic, self.insertion_p_value = insertion_ks(
             self.insertion_ranks, self.num_live_points)
         self.insertion_rolling_p_value, _ = rolling_insertion_ks(
             self.insertion_ranks, self.num_live_points)
+        # Thread-bootstrap logZ error (Higson et al. 2019): a
+        # non-parametric estimate of the sampling error; ratio to the
+        # analytic sqrt(h/N) ~ 1 validates the error bar (cross-thread
+        # correlation from under-mixing needs the multi-run
+        # implementation-error estimate in analyse.py — see
+        # bootstrap_logz_error's docstring for the measured limits).
+        self.logzerr_bootstrap = None
+        if saved_slots is not None:
+            with self.timers.time('diagnostics'):
+                self.logzerr_bootstrap = bootstrap_logz_error(
+                    np.asarray(saved_logl), np.asarray(saved_slots),
+                    self.num_live_points)
 
         if self.single_or_primary_process and self.logs is not None:
             np.save(os.path.join(self.logs['results'],
                                  'insertion_ranks.npy'),
                     self.insertion_ranks.astype(np.uint32))
+            with open(os.path.join(self.logs['results'],
+                                   'diagnostics.json'), 'w') as f:
+                json.dump({
+                    'insertion_D': self.insertion_statistic,
+                    'insertion_p': self.insertion_p_value,
+                    'insertion_rolling_p': self.insertion_rolling_p_value,
+                    'logzerr': self.logzerr,
+                    'logzerr_bootstrap': self.logzerr_bootstrap,
+                    'n_ranks': int(self.insertion_ranks.size),
+                }, f)
             with open(os.path.join(self.logs['results'], 'final.csv'),
                       'w') as f:
                 w = csv.writer(f)
@@ -903,6 +944,16 @@ class NestedSampler(Sampler):
                     ' — WARNING: non-uniform insertion ranks suggest '
                     'under-mixed constrained sampling; increase '
                     'mcmc_steps' if self.insertion_p_value < 0.01 else ''))
+            if self.logzerr_bootstrap is not None:
+                ratio = self.logzerr_bootstrap / max(self.logzerr, 1e-12)
+                self.logger.info(
+                    'Bootstrap logZ error (thread-resampled): %5.4f vs '
+                    'sqrt(h/N) %5.4f (ratio %4.2f)%s' % (
+                        self.logzerr_bootstrap, self.logzerr, ratio,
+                        ' — WARNING: bootstrap error far from the '
+                        'analytic bar; the quoted logZ uncertainty is '
+                        'mis-calibrated' if ratio > 2.0 or ratio < 0.5
+                        else ''))
             phases = self.timers.summary()
             if phases:
                 d = {k: round(v['total_s'], 2) for k, v in phases.items()}
@@ -966,7 +1017,7 @@ class NestedSampler(Sampler):
                           active_derived, saved_v, saved_logl, saved_logwt,
                           logz, h, logvol, fraction_remain, strategy,
                           expired, controller=None, pool_state=None,
-                          insertion_ranks=None):
+                          insertion_ranks=None, saved_slots=None):
         """Snapshot checkpoint state on the calling thread (the live
         arrays mutate immediately after) and queue the file IO on the
         serial background writer — checkpoint IO measured ~1 s of a warm
@@ -995,6 +1046,8 @@ class NestedSampler(Sampler):
             'pool_state': pool_state,
             'insertion_ranks': np.asarray(insertion_ranks or [],
                                           dtype=np.uint32),
+            'saved_slots': (None if saved_slots is None else
+                            np.asarray(saved_slots, dtype=np.uint32)),
             'meta': {'logz': logz, 'h': h, 'logvol': logvol,
                      'ncall': self.total_calls,
                      'fraction_remain': fraction_remain,
@@ -1015,6 +1068,9 @@ class NestedSampler(Sampler):
                         snap[name])
             for name in ('saved_v', 'saved_logl', 'saved_logwt'):
                 np.save(os.path.join(ck, '%s.npy' % name), snap[name])
+            if snap['saved_slots'] is not None:
+                np.save(os.path.join(ck, 'saved_slots.npy'),
+                        snap['saved_slots'])
             # PRNG key + flow params + trainer state + in-flight pool
             # travel as ONE it-stamped file written atomically (tmp +
             # os.replace): they are only bit-exact-valid TOGETHER with the
@@ -1065,6 +1121,21 @@ class NestedSampler(Sampler):
                 % (it, len(saved_logl)))
         saved_v, saved_logl, saved_logwt = (
             saved_v[:it], saved_logl[:it], saved_logwt[:it])
+        # Thread-id history (bootstrap error estimator). Written on the
+        # same cadence as the other saved_* arrays; shorter-than-it or
+        # absent (legacy checkpoint) disables the diagnostic.
+        self._restored_saved_slots = None
+        sl_path = os.path.join(ck, 'saved_slots.npy')
+        if os.path.exists(sl_path):
+            try:
+                sl = np.load(sl_path)
+                if len(sl) >= it:
+                    self._restored_saved_slots = [int(x)
+                                                  for x in sl[:it]]
+            except Exception as e:
+                self.logger.warning(
+                    'Could not restore thread ids (%s); bootstrap '
+                    'error diagnostic disabled for this run' % e)
         if active_logl.shape[0] != active_u.shape[0]:
             raise ValueError('checkpoint %d: live-point arrays disagree' % it)
         # total_calls is a *global* count on every process here (kernel
@@ -1110,9 +1181,9 @@ class NestedSampler(Sampler):
         # layout: [flags/evidence 8][strategy MAXS][expired MAXS]
         #         [controller 14 + ncs tail 20]
         #         [trainer best_val/iters 2][pool-state byte length 1]
-        #         [insertion-rank count 1]
+        #         [insertion-rank count 1][thread-ids flag 1]
         NCTRL, NTAIL = 14, 20
-        header = np.full(8 + 2 * MAXS + NCTRL + NTAIL + 4, -1.0,
+        header = np.full(8 + 2 * MAXS + NCTRL + NTAIL + 5, -1.0,
                          np.float64)
         coff = 8 + 2 * MAXS
         pool_bytes = b''
@@ -1150,6 +1221,9 @@ class NestedSampler(Sampler):
             header[coff + NCTRL + NTAIL + 2] = len(pool_bytes)
             header[coff + NCTRL + NTAIL + 3] = len(
                 getattr(self, '_restored_insertion_ranks', []))
+            header[coff + NCTRL + NTAIL + 4] = (
+                1.0 if getattr(self, '_restored_saved_slots', None)
+                is not None else 0.0)
         header = np.asarray(broadcast_exact(header))
         if header[0] < 0.5:
             return None
@@ -1246,6 +1320,16 @@ class NestedSampler(Sampler):
             self._restored_insertion_ranks = [int(x) for x in rpay]
         else:
             self._restored_insertion_ranks = []
+        # Thread ids: length is always `it` when present (one per death).
+        if header[coff + NCTRL + NTAIL + 4] > 0.5 and it > 0:
+            spay = (np.asarray(self._restored_saved_slots, np.float64)
+                    if state is not None else np.zeros(it, np.float64))
+            spay = np.asarray(broadcast_exact(spay))
+            self._restored_saved_slots = [int(x) for x in spay]
+        elif header[coff + NCTRL + NTAIL + 4] > 0.5:
+            self._restored_saved_slots = []
+        else:
+            self._restored_saved_slots = None
         active_v = np.asarray(self.transform(active_u), dtype=np.float64)
         return (it, active_u, active_v, active_logl, active_derived,
                 [np.asarray(r) for r in saved_v], list(saved_logl),

@@ -10,8 +10,37 @@ import numpy as np
 
 from nnest_tpu import NestedSampler
 from nnest_tpu.likelihoods import Gaussian
-from nnest_tpu.utils.evaluation import (insertion_ks, kolmogorov_pvalue,
+from nnest_tpu.utils.evaluation import (bootstrap_logz_error, insertion_ks,
+                                        kolmogorov_pvalue,
                                         rolling_insertion_ks)
+
+
+def _fake_run(n_live, n_dead, seed):
+    """Synthetic constant-N run: iid exponential-gap logl deaths assigned
+    round-robin to slots (a perfectly mixed sampler's thread structure)."""
+    rng = np.random.RandomState(seed)
+    logl = np.sort(rng.normal(size=n_dead + n_live)) * 5.0
+    slots = np.concatenate([np.arange(n_dead) % n_live,
+                            np.arange(n_live)])
+    rng.shuffle(slots[:n_dead])
+    return logl, slots
+
+
+def test_bootstrap_deterministic_and_positive():
+    logl, slots = _fake_run(50, 2000, 0)
+    e1 = bootstrap_logz_error(logl, slots, 50)
+    e2 = bootstrap_logz_error(logl, slots, 50)
+    assert e1 == e2 and e1 > 0.0
+
+
+def test_bootstrap_identical_threads_zero_error():
+    """If every thread is an identical copy, resampling cannot change the
+    combined run, so the bootstrap error must vanish."""
+    n_live, per = 20, 30
+    one = np.linspace(-50.0, 0.0, per)
+    logl = np.tile(one, n_live)
+    slots = np.repeat(np.arange(n_live), per)
+    assert bootstrap_logz_error(logl, slots, n_live) < 1e-12
 
 
 def test_insertion_ks_uniform_high_p():
@@ -73,6 +102,16 @@ def test_nested_run_reports_uniform_insertion(tmp_path):
     rpath = os.path.join(sA.log_dir, 'results', 'insertion_ranks.npy')
     saved = np.load(rpath)
     assert np.array_equal(saved, sA.insertion_ranks)
+    # bootstrap sampling error calibrates against the analytic bar on a
+    # well-mixed run (measured 0.99-1.01 on this config; generous band)
+    assert sA.logzerr_bootstrap is not None
+    assert 0.5 < sA.logzerr_bootstrap / sA.logzerr < 2.0
+    import json
+    with open(os.path.join(sA.log_dir, 'results',
+                           'diagnostics.json')) as f:
+        diag = json.load(f)
+    assert diag['insertion_p'] == sA.insertion_p_value
+    assert diag['logzerr_bootstrap'] == sA.logzerr_bootstrap
 
     # kill-and-resume: the rank history must continue, not restart
     sB = NestedSampler(2, like, transform=lambda x: 3 * x,
@@ -87,3 +126,5 @@ def test_nested_run_reports_uniform_insertion(tmp_path):
     sC.run(**kw)
     assert np.array_equal(sC.insertion_ranks, sA.insertion_ranks)
     assert sC.insertion_p_value == sA.insertion_p_value
+    # thread ids survive resume too, so the bootstrap error is identical
+    assert sC.logzerr_bootstrap == sA.logzerr_bootstrap
