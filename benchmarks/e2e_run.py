@@ -95,6 +95,10 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
         'logzerr': round(float(s.logzerr), 4),
         'truth': None if truth is None else round(truth, 4),
         'ncall': int(s.total_calls), 'niter': int(s.niter),
+        'insertion_p': None if s.insertion_p_value is None
+        else round(float(s.insertion_p_value), 4),
+        'logzerr_bootstrap': None if s.logzerr_bootstrap is None
+        else round(float(s.logzerr_bootstrap), 4),
         'wall_s': round(wall, 1), 'phases': phases,
     }
     print(json.dumps(rec), flush=True)
@@ -163,6 +167,18 @@ def main():
             scatter = max(float(np.std(logzs, ddof=1)), 1e-9)
             summary['sigma_distance'] = round(
                 abs(float(np.mean(logzs)) - truth) / scatter, 2)
+        boots = [r['logzerr_bootstrap'] for r in recs
+                 if r['logzerr_bootstrap'] is not None]
+        if len(boots) == len(recs) and len(recs) > 1:
+            # nestcheck implementation-error decomposition (see
+            # utils/evaluation.bootstrap_logz_error): run-to-run logZ
+            # variance in excess of the bootstrap sampling variance.
+            var_runs = float(np.var(logzs))
+            var_samp = float(np.mean(np.square(boots)))
+            summary['sampling_err_bootstrap'] = round(
+                math.sqrt(var_samp), 4)
+            summary['implementation_err'] = round(
+                math.sqrt(max(var_runs - var_samp, 0.0)), 4)
         print(json.dumps({'SUMMARY': summary}), flush=True)
 
 
