@@ -199,31 +199,42 @@ class EnsembleSampler(Sampler):
         return int(header[1]), np.array(ts, dtype=np.float64, copy=True)
 
     def _bootstrap_load_latest(self, max_phase):
-        """Return (phase, training_samples) of the newest completed phase
-        <= max_phase, restoring PRNG + counters, or None."""
+        """Return (phase, training_samples) of the newest RESTORABLE
+        completed phase <= max_phase, restoring PRNG + counters, or None.
+        A corrupted newest archive (crash mid-write) falls back to the
+        next older phase instead of restarting the whole bootstrap — the
+        same contract as NestedSampler's checkpoint scan."""
         if self.logs is None:
             return None
-        best = None
+        phases = []
         for p in glob.glob(os.path.join(self.logs['checkpoint'],
                                         'bootstrap_*.npz')):
-            ph = int(os.path.basename(p).split('_')[1].split('.npz')[0])
-            if ph <= max_phase and (best is None or ph > best[0]):
+            base = os.path.basename(p)
+            try:
+                ph = int(base.split('_')[1].split('.npz')[0])
+            except ValueError:
+                continue
+            if ph <= max_phase:
+                phases.append((ph, p))
+        best = None
+        for ph, p in sorted(phases, reverse=True):
+            try:
+                # Load every field into locals BEFORE mutating self: npz
+                # member reads are lazy, so a truncated archive can raise
+                # on the 2nd or 3rd access — a half-restored PRNG key on
+                # rank 0 with the seed key on other ranks would silently
+                # desync the lockstep multi-process bootstrap.
+                data = np.load(p)
+                key_data = np.asarray(data['key_data'])
+                total_calls = int(data['total_calls'])
+                training_samples = np.asarray(data['training_samples'])
                 best = (ph, p)
+                break
+            except Exception as e:
+                self.logger.warning(
+                    'Bootstrap checkpoint %s unusable (%s); trying an '
+                    'older phase' % (p, e))
         if best is None:
-            return None
-        try:
-            # Load every field into locals BEFORE mutating self: npz member
-            # reads are lazy, so a truncated archive can raise on the 2nd
-            # or 3rd access — a half-restored PRNG key on rank 0 with the
-            # seed key on other ranks would silently desync the lockstep
-            # multi-process bootstrap.
-            data = np.load(best[1])
-            key_data = np.asarray(data['key_data'])
-            total_calls = int(data['total_calls'])
-            training_samples = np.asarray(data['training_samples'])
-        except Exception as e:
-            self.logger.warning('Bootstrap checkpoint %s unusable (%s)'
-                                % (best[1], e))
             return None
         self._key = jax.random.wrap_key_data(key_data)
         self.total_calls = total_calls

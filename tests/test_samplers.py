@@ -1,6 +1,8 @@
 """MCMCSampler / EnsembleSampler integration tests: posterior moments on a
 known 2-D Gaussian, ensemble bootstrap end-to-end."""
 
+import glob
+
 import numpy as np
 import pytest
 
@@ -79,6 +81,20 @@ def test_ensemble_bootstrap_resume(tmp_path, gauss_problem):
     assert s2.total_calls == calls_after_first + 200 * 32
     assert out.shape[1] == 2
     assert abs(np.mean(out)) < 0.35
+
+    # a corrupted NEWEST phase archive (crash mid-write) must fall back
+    # to the previous completed phase, not restart the whole bootstrap
+    import os
+    ck = os.path.join(s2.log_dir, 'checkpoint')
+    phases = sorted(int(os.path.basename(p).split('_')[1].split('.npz')[0])
+                    for p in glob.glob(os.path.join(ck, 'bootstrap_*.npz')))
+    assert len(phases) >= 2
+    with open(os.path.join(ck, 'bootstrap_%d.npz' % phases[-1]), 'wb') as f:
+        f.write(b'PK corrupt')
+    s3 = EnsembleSampler(2, like, prior=prior, append_run_num=False,
+                         log_dir=str(tmp_path / 'bootres'), seed=3)
+    loaded = s3._bootstrap_load_latest(10)
+    assert loaded is not None and loaded[0] == phases[-2]
 
 
 def test_ensemble_bootstrap_bit_exact_resume(tmp_path, gauss_problem):
