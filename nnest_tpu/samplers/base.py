@@ -636,6 +636,99 @@ class Sampler:
                          int(meta['start_it'][g])))
         return gens
 
+    def _slice_sample_live(self,
+                           slice_steps,
+                           active_u,
+                           active_logl,
+                           active_derived,
+                           num_chains,
+                           loglstar,
+                           width,
+                           max_expand=4,
+                           max_shrink=10):
+        """Fused single-dispatch slice-sampling pool generation from the
+        live set (``LatentKernels.slice_from_live``) — the slice analogue
+        of ``_mcmc_sample_live`` (same key roles and endpoint bookkeeping).
+
+        Returns (u, logl, derived, moved, scale, mean_jump, ncall)."""
+        key_idx, key_chain = self._next_key(), self._next_key()
+        self.trainer.ensure_init()
+        with self.timers.time('mcmc_kernel'):
+            out = self.kernels.slice_from_live(
+                self.trainer.params, key_idx, key_chain,
+                active_u, active_logl, active_derived,
+                num_chains=num_chains, loglstar=loglstar, width=width,
+                slice_steps=slice_steps, max_expand=max_expand,
+                max_shrink=max_shrink)
+            out = self._fetch_all(out)
+        return self._consume_endpoint_out(out)
+
+    def _slice_sample_final(self,
+                            slice_steps,
+                            width,
+                            init_samples=None,
+                            init_loglikes=None,
+                            init_derived=None,
+                            loglstar=None,
+                            max_start_tries=100,
+                            max_expand=4,
+                            max_shrink=10,
+                            stat_moments=None):
+        """Endpoint-only slice sampling from explicit start points — the
+        slice analogue of ``_mcmc_sample_final`` (used on the mesh route,
+        where chain batches are explicitly dp-sharded by ``_mcmc_init``).
+
+        Returns (u, logl, derived, moved, scale, mean_jump, ncall)."""
+        with self.timers.time('mcmc_init'):
+            (params, z, logl, derived, _logl_prior, _ss,
+             ncall_init) = self._mcmc_init(
+                width, init_samples.shape[0], init_samples,
+                init_loglikes, init_derived, max_start_tries)
+        with self.timers.time('mcmc_kernel'):
+            out = self.kernels.slice_(
+                params, self._next_key(), z, logl, derived,
+                loglstar=loglstar, width=width, slice_steps=slice_steps,
+                max_expand=max_expand, max_shrink=max_shrink,
+                stat_moments=stat_moments)
+            jax.block_until_ready(out['final_x'])
+        out = self._fetch_all(out)
+        return self._consume_endpoint_out(out, ncall_extra=ncall_init)
+
+    def _slice_generations_batch(self,
+                                 slice_steps,
+                                 active_u,
+                                 active_logl,
+                                 active_derived,
+                                 num_chains,
+                                 width,
+                                 it,
+                                 update_interval,
+                                 max_iters,
+                                 max_gens,
+                                 max_expand=4,
+                                 max_shrink=10):
+        """Prefetch up to ``max_gens`` slice pool generations in one
+        dispatch — the slice analogue of ``_mcmc_generations_batch`` (same
+        on-device pool consumption, key discipline and exactness gate)."""
+        self.trainer.ensure_init()
+        key = self._key
+        with self.timers.time('mcmc_kernel'):
+            bufs, meta, n_gens, key_out = \
+                self.kernels.slice_pool_generations(
+                    self.trainer.params, key, active_u, active_logl,
+                    active_derived, it, width, update_interval, max_iters,
+                    num_chains=num_chains, slice_steps=slice_steps,
+                    max_gens=max_gens, max_expand=max_expand,
+                    max_shrink=max_shrink)
+            self._key = key_out
+            bufs, meta, n_gens = self._fetch_all((bufs, meta, n_gens))
+        gens = []
+        for g in range(int(n_gens)):
+            gens.append(({k: v[g] for k, v in bufs.items()},
+                         float(meta['start_loglstar'][g]),
+                         int(meta['start_it'][g])))
+        return gens
+
     def _mcmc_sample(self,
                      mcmc_steps,
                      step_size=0.0,

@@ -134,6 +134,17 @@ class LatentKernels:
                                       'num_chains', 'mcmc_steps',
                                       'max_gens', 'dynamic_step_size',
                                       'prior_volume_steps'))
+        self._slice = jax.jit(self._slice_impl, static_argnames=(
+            'slice_steps', 'max_expand', 'max_shrink', 'own_moments'))
+        self._slice_live = jax.jit(self._slice_from_live_impl,
+                                   static_argnames=(
+                                       'num_chains', 'slice_steps',
+                                       'max_expand', 'max_shrink'))
+        self._slice_gens = jax.jit(self._slice_pool_generations_impl,
+                                   static_argnames=(
+                                       'num_chains', 'slice_steps',
+                                       'max_gens', 'max_expand',
+                                       'max_shrink'))
         self._fusable = None  # resolved lazily (import cycle + cheap check)
         self._rejection_prior = None  # built lazily (needs a prior sampler)
         self._rejection_flow = jax.jit(self._rejection_flow_impl,
@@ -416,24 +427,26 @@ class LatentKernels:
             dynamic_step_size=dynamic_step_size,
             prior_volume_steps=prior_volume_steps)
 
-    def _mcmc_from_live_impl(self, params, key_idx, key_chain, active_u,
-                             active_logl, active_derived, loglstar,
-                             step_size, *, num_chains, mcmc_steps,
-                             dynamic_step_size, prior_volume_steps):
+    def _live_starts(self, params, key_idx, active_u, active_logl,
+                     active_derived, num_chains):
+        """Chain starts drawn uniformly from the live set, on device.
+
+        Gather-free row selection (TPU rule: no dynamic row gathers).
+        Elementwise masked where + sum, NOT a matmul: TPU matmuls
+        truncate f32 inputs to bf16 on the MXU by default, which would
+        round the selected live points / loglikes; masked-sum on the
+        VPU picks rows bit-exactly (999 exact zeros + the row). The
+        where (rather than onehot-multiply) keeps non-selected rows out
+        of the arithmetic entirely: live loglikes can be -inf in f32
+        (host clamps failed likelihoods to -1e100, which overflows
+        float32), and 0*inf = NaN would poison EVERY chain's start
+        state instead of only the chain that picked that row as in the
+        unfused host-indexing route (sanitize at kernel entry then
+        maps the picked -inf to LOG_NEG identically on both routes).
+
+        Returns (z0, logl0, derived0, lp_prior0, mu, var)."""
         n_live = active_u.shape[0]
         idx = jax.random.randint(key_idx, (num_chains,), 0, n_live)
-        # Gather-free row selection (TPU rule: no dynamic row gathers).
-        # Elementwise masked where + sum, NOT a matmul: TPU matmuls
-        # truncate f32 inputs to bf16 on the MXU by default, which would
-        # round the selected live points / loglikes; masked-sum on the
-        # VPU picks rows bit-exactly (999 exact zeros + the row). The
-        # where (rather than onehot-multiply) keeps non-selected rows out
-        # of the arithmetic entirely: live loglikes can be -inf in f32
-        # (host clamps failed likelihoods to -1e100, which overflows
-        # float32), and 0*inf = NaN would poison EVERY chain's start
-        # state instead of only the chain that picked that row as in the
-        # unfused host-indexing route (sanitize at _mcmc_impl entry then
-        # maps the picked -inf to LOG_NEG identically on both routes).
         iota = jax.lax.broadcasted_iota(jnp.int32, (num_chains, n_live), 1)
         mask = iota == idx[:, None]
         x0 = jnp.sum(jnp.where(mask[:, :, None], active_u[None, :, :], 0.0),
@@ -449,6 +462,15 @@ class LatentKernels:
         # (reference sampler.py:481-483); they never touch the chains
         mu = jnp.mean(active_u, axis=0)
         var = jnp.var(active_u, axis=0)
+        return z0, logl0, derived0, lp_prior0, mu, var
+
+    def _mcmc_from_live_impl(self, params, key_idx, key_chain, active_u,
+                             active_logl, active_derived, loglstar,
+                             step_size, *, num_chains, mcmc_steps,
+                             dynamic_step_size, prior_volume_steps):
+        z0, logl0, derived0, lp_prior0, mu, var = self._live_starts(
+            params, key_idx, active_u, active_logl, active_derived,
+            num_chains)
         return self._mcmc_impl(
             params, key_chain, z0, logl0, derived0, lp_prior0, loglstar,
             step_size, mu, var, mcmc_steps=mcmc_steps, constrained=True,
@@ -550,6 +572,7 @@ class LatentKernels:
                                     step_size, update_interval, max_iters,
                                     *, num_chains, mcmc_steps, max_gens,
                                     dynamic_step_size, prior_volume_steps):
+        del max_iters  # pure host-side terminator, see _pool_generations
         def core(key_idx, key_chain, au, al, ad, loglstar):
             return self._mcmc_from_live_impl(
                 params, key_idx, key_chain, au, al, ad, loglstar,
@@ -557,6 +580,17 @@ class LatentKernels:
                 dynamic_step_size=dynamic_step_size,
                 prior_volume_steps=prior_volume_steps)
 
+        return self._pool_generations(
+            core, key, active_u, active_logl, active_derived, it0,
+            update_interval, max_gens)
+
+    def _pool_generations(self, core, key, active_u, active_logl,
+                          active_derived, it0, update_interval, max_gens):
+        """Shared endpoint-kernel pool-generation driver: run ``core``
+        (an endpoint-only constrained kernel launched from the live set,
+        consuming two keys per generation in ``Sampler._next_key`` order)
+        up to ``max_gens`` times in one program, replaying the host's pool
+        consumption on device between generations (``_consume_pool``)."""
         out_sd = jax.eval_shape(core, key, key, active_u, active_logl,
                                 active_derived, jnp.float32(0.0))
         bufs0 = jax.tree.map(
@@ -601,6 +635,271 @@ class LatentKernels:
         (key_out, _, _, _, _, n_gens, _, bufs,
          meta) = jax.lax.while_loop(cond, body, state0)
         return bufs, meta, n_gens, key_out
+
+    # ------------------------------------------------------------ slice ---
+
+    def slice_(self, params, key, init_z, init_logl, init_derived, *,
+               loglstar, width, slice_steps, max_expand=4, max_shrink=10,
+               stat_moments=None):
+        """Vectorized constrained latent-space SLICE sampling (Neal 2003).
+
+        A capability the reference lacks: its only within-shell kernel is
+        fixed-scale latent Metropolis (``sampler.py:291-370``), which
+        under-mixes on curved degenerate targets (measured: 20-D Rosenbrock
+        needs >=20*d Metropolis steps and still shows 3-4x the analytic
+        seed scatter, BENCHMARKS.md). Slice sampling adapts its step length
+        per move via stepping-out/shrinkage, so one slice step decorrelates
+        along its direction regardless of the local scale — the same reason
+        PolyChord (Handley et al. 2015) replaced Metropolis with slice
+        moves inside nested sampling.
+
+        Target: the flow-pushforward prior restricted to the hard
+        likelihood shell, f(z) = |J(z)| * 1[prior ok] * 1[logl > loglstar]
+        — identical invariant distribution to the constrained Metropolis
+        kernel, so the two are interchangeable inside nested sampling.
+
+        Per chain and per slice step (all chains batched, whole trajectory
+        one ``lax.scan`` — TPU rules: finite sentinels, no gathers, masked
+        lanes instead of data-dependent trip counts):
+
+        1. random isotropic latent direction d;
+        2. log slice height logy = logdetJ(z) + log U, U ~ (0,1] (drawn as
+           ``log1p(-uniform)`` — no -inf lanes in the kernel);
+        3. stepping-out (Neal fig. 3): interval [L, R] of width ``width``
+           randomly positioned around t=0, expansion budget ``max_expand``
+           randomly apportioned between the ends, each end pushed out in
+           ``width`` steps while it remains inside the slice — fixed
+           ``max_expand`` iterations with masked lanes (one batched
+           inverse+likelihood per iteration for both ends stacked);
+        4. shrinkage (Neal fig. 5): up to ``max_shrink`` proposals
+           t ~ U(L, R); an out-of-slice proposal shrinks the bracket
+           toward t=0, an in-slice one is accepted. Lanes that fail to
+           accept within ``max_shrink`` stay put (counted in 'rejected';
+           the bracket halves per rejection, so non-acceptance is
+           ~2^-max_shrink and the stationary distribution is preserved to
+           that accuracy).
+
+        ``ncall`` counts likelihood evaluations a sequential implementation
+        would pay: lanes whose geometry test (prior box + logdetJ > logy)
+        passed and that were still active — the reference's masked-
+        evaluation accounting rule (``sampler.py:358-368``) applied to
+        slice moves. Returns the same endpoint-only dict as ``mcmc`` with
+        ``collect_chains=False`` (chain statistics computed on device).
+        """
+        dim = init_z.shape[-1]
+        if stat_moments is None:
+            mu = np.zeros((dim,), np.float32)
+            var = np.ones((dim,), np.float32)
+            own_moments = True
+        else:
+            mu = np.asarray(stat_moments[0], np.float32)
+            var = np.asarray(stat_moments[1], np.float32)
+            own_moments = False
+        return self._slice(params, key, init_z, init_logl, init_derived,
+                           np.float32(loglstar), np.float32(width), mu,
+                           var, slice_steps=slice_steps,
+                           max_expand=max_expand, max_shrink=max_shrink,
+                           own_moments=own_moments)
+
+    def _slice_impl(self, params, key, z0, logl0, derived0, loglstar,
+                    width, stat_mu, stat_var, *, slice_steps, max_expand,
+                    max_shrink, own_moments):
+        like_fn, prior_fn = self.like_fn, self.prior_fn
+        num_chains = z0.shape[0]
+        logl0 = sanitize_log_density(logl0)
+        inverse = self._hot_inverse(params)
+        x0, ldj0 = inverse(z0)
+
+        def in_slice(zc, logy, loglstar):
+            """(geom, full, x, ldj, logl, derived): geom = prior box +
+            Jacobian height test (no likelihood call needed); full adds
+            the hard likelihood constraint."""
+            xc, ldjc = inverse(zc)
+            lp = prior_fn(xc)
+            geom = jnp.logical_and(lp > -1e30, ldjc > logy)
+            loglc, derc = like_fn(xc)
+            full = jnp.logical_and(geom, loglc > loglstar)
+            return geom, full, xc, ldjc, loglc, derc
+
+        def step(carry, k):
+            z, x, ldj, logl, derived, ncall = carry
+            kd, kh, kv, kj, kshr = jax.random.split(k, 5)
+            d = jax.random.normal(kd, z.shape)
+            d = d / jnp.maximum(
+                jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+            # log height: U in (0,1] via log1p(-u) — finite lanes only.
+            logy = ldj + jnp.log1p(-jax.random.uniform(kh, (num_chains,)))
+            v = jax.random.uniform(kv, (num_chains,))
+            left = -width * v
+            right = left + width
+            jmax = jax.random.randint(kj, (num_chains,), 0, max_expand) \
+                if max_expand > 0 else jnp.zeros((num_chains,), jnp.int32)
+            kmax = (max_expand - 1) - jmax
+
+            def expand(i, st):
+                left, right, done_l, done_r, ncall = st
+                # Both endpoints in ONE batched inverse+likelihood: the
+                # expansion cost is per-iteration dispatch depth, not lane
+                # count.
+                zc = jnp.concatenate([z + left[:, None] * d,
+                                      z + right[:, None] * d], axis=0)
+                geom, full, _, _, _, _ = in_slice(
+                    zc, jnp.concatenate([logy, logy]),
+                    loglstar)
+                geom_l, geom_r = geom[:num_chains], geom[num_chains:]
+                in_l, in_r = full[:num_chains], full[num_chains:]
+                act_l = jnp.logical_and(~done_l, i < jmax)
+                act_r = jnp.logical_and(~done_r, i < kmax)
+                ncall = ncall \
+                    + jnp.sum(jnp.logical_and(act_l, geom_l)
+                              .astype(jnp.int32)) \
+                    + jnp.sum(jnp.logical_and(act_r, geom_r)
+                              .astype(jnp.int32))
+                move_l = jnp.logical_and(act_l, in_l)
+                move_r = jnp.logical_and(act_r, in_r)
+                left = jnp.where(move_l, left - width, left)
+                right = jnp.where(move_r, right + width, right)
+                done_l = jnp.logical_or(done_l,
+                                        jnp.logical_and(act_l, ~in_l))
+                done_r = jnp.logical_or(done_r,
+                                        jnp.logical_and(act_r, ~in_r))
+                return left, right, done_l, done_r, ncall
+
+            if max_expand > 0:
+                falses = jnp.zeros((num_chains,), bool)
+                left, right, _, _, ncall = jax.lax.fori_loop(
+                    0, max_expand, expand,
+                    (left, right, falses, falses, ncall))
+
+            def shrink(i, st):
+                (left, right, acc, z_n, x_n, ldj_n, logl_n, der_n,
+                 ncall, kk) = st
+                kk, kt = jax.random.split(kk)
+                t = left + (right - left) * jax.random.uniform(
+                    kt, (num_chains,))
+                zc = z + t[:, None] * d
+                geom, ok, xc, ldjc, loglc, derc = in_slice(
+                    zc, logy, loglstar)
+                act = ~acc
+                ncall = ncall + jnp.sum(
+                    jnp.logical_and(act, geom).astype(jnp.int32))
+                take = jnp.logical_and(act, ok)
+                tcol = take[:, None]
+                z_n = jnp.where(tcol, zc, z_n)
+                x_n = jnp.where(tcol, xc, x_n)
+                ldj_n = jnp.where(take, ldjc, ldj_n)
+                logl_n = jnp.where(take, loglc, logl_n)
+                der_n = jnp.where(tcol, derc, der_n)
+                acc = jnp.logical_or(acc, take)
+                shr = jnp.logical_and(act, ~ok)
+                left = jnp.where(jnp.logical_and(shr, t < 0), t, left)
+                right = jnp.where(jnp.logical_and(shr, t >= 0), t, right)
+                return (left, right, acc, z_n, x_n, ldj_n, logl_n, der_n,
+                        ncall, kk)
+
+            st0 = (left, right, jnp.zeros((num_chains,), bool),
+                   z, x, ldj, logl, derived, ncall, kshr)
+            (_, _, acc, z_n, x_n, ldj_n, logl_n, der_n, ncall,
+             _) = jax.lax.fori_loop(0, max_shrink, shrink, st0)
+
+            n_acc = jnp.sum(acc.astype(jnp.int32))
+            jump = jnp.sum(jnp.where(
+                acc, jnp.linalg.norm(x_n - x, axis=-1), 0.0))
+            new_carry = (z_n, x_n, ldj_n, logl_n, der_n, ncall)
+            return new_carry, (n_acc, acc, jump, x_n)
+
+        keys = jax.random.split(key, slice_steps)
+        carry0 = (z0, x0, ldj0, logl0, derived0, jnp.int32(0))
+        carry, outs = jax.lax.scan(step, carry0, keys)
+        n_accs, accepts, jumps, xs_all = outs
+        total_acc = jnp.sum(n_accs)
+        moved = jnp.any(accepts, axis=0)
+        chains = jnp.swapaxes(jnp.concatenate(
+            [x0[None], xs_all], axis=0), 0, 1)
+        if own_moments:
+            stat_mu = jnp.mean(chains, axis=(0, 1))
+            stat_var = jnp.var(chains, axis=(0, 1))
+        ess = ess_device(chains, stat_mu, stat_var)
+        return {
+            'scale': jnp.float32(width),
+            'ncall': carry[5],
+            'fast_calls': jnp.int32(0),
+            'final_x': carry[1],
+            'final_z': carry[0],
+            'final_logl': carry[3],
+            'final_derived': carry[4],
+            'moved': moved,
+            'mean_jump': jnp.sum(jumps) / jnp.maximum(total_acc, 1),
+            'diag_chains': chains[:_N_DIAG],
+            'ess': ess,
+            'acceptance': total_acc / jnp.float32(
+                slice_steps * num_chains),
+            'accepted': total_acc,
+            'rejected': slice_steps * num_chains - total_acc,
+        }
+
+    def slice_from_live(self, params, key_idx, key_chain, active_u,
+                        active_logl, active_derived, *, num_chains,
+                        loglstar, width, slice_steps, max_expand=4,
+                        max_shrink=10):
+        """Fused slice-sampling pool generation launched FROM the live set
+        in one dispatch — the slice analogue of ``mcmc_from_live`` (same
+        key roles, same exact one-hot start selection)."""
+        return self._slice_live(
+            params, key_idx, key_chain,
+            np.asarray(active_u, np.float32),
+            np.asarray(active_logl, np.float32),
+            np.asarray(active_derived, np.float32),
+            np.float32(loglstar), np.float32(width),
+            num_chains=num_chains, slice_steps=slice_steps,
+            max_expand=max_expand, max_shrink=max_shrink)
+
+    def _slice_from_live_impl(self, params, key_idx, key_chain, active_u,
+                              active_logl, active_derived, loglstar,
+                              width, *, num_chains, slice_steps,
+                              max_expand, max_shrink):
+        z0, logl0, derived0, _lp, mu, var = self._live_starts(
+            params, key_idx, active_u, active_logl, active_derived,
+            num_chains)
+        return self._slice_impl(
+            params, key_chain, z0, logl0, derived0, loglstar, width, mu,
+            var, slice_steps=slice_steps, max_expand=max_expand,
+            max_shrink=max_shrink, own_moments=False)
+
+    def slice_pool_generations(self, params, key, active_u, active_logl,
+                               active_derived, it, width, update_interval,
+                               max_iters, *, num_chains, slice_steps,
+                               max_gens, max_expand=4, max_shrink=10):
+        """Run up to ``max_gens`` slice pool generations in ONE dispatch —
+        the slice analogue of ``mcmc_pool_generations`` (same on-device
+        pool-consumption replay, same stop rules, same key discipline; see
+        that kernel's docstring for the exactness argument)."""
+        return self._slice_gens(
+            params, key,
+            np.asarray(active_u, np.float32),
+            np.asarray(active_logl, np.float32),
+            np.asarray(active_derived, np.float32),
+            np.int32(it), np.float32(width),
+            np.int32(update_interval), np.int32(max_iters),
+            num_chains=num_chains, slice_steps=slice_steps,
+            max_gens=max_gens, max_expand=max_expand,
+            max_shrink=max_shrink)
+
+    def _slice_pool_generations_impl(self, params, key, active_u,
+                                     active_logl, active_derived, it0,
+                                     width, update_interval, max_iters, *,
+                                     num_chains, slice_steps, max_gens,
+                                     max_expand, max_shrink):
+        del max_iters  # pure host-side terminator, see _pool_generations
+        def core(key_idx, key_chain, au, al, ad, loglstar):
+            return self._slice_from_live_impl(
+                params, key_idx, key_chain, au, al, ad, loglstar, width,
+                num_chains=num_chains, slice_steps=slice_steps,
+                max_expand=max_expand, max_shrink=max_shrink)
+
+        return self._pool_generations(
+            core, key, active_u, active_logl, active_derived, it0,
+            update_interval, max_gens)
 
     # ----------------------------------------------------- rejection/prior
 

@@ -21,6 +21,13 @@ checkpoint artifact layout and results/chain files match the reference:
 - checkpoint/resume via ``checkpoint_<it>.txt`` JSON + ``active_*.npy`` +
   ``saved_*.npy`` (``nested.py:166-195,250-260,473-485``), extended with the
   flow params and PRNG key for exact resume.
+
+Beyond the reference, the strategy ladder accepts ``'slice'`` — a
+constrained latent-space slice-sampling kernel (Neal 2003 stepping-out/
+shrinkage; PolyChord's within-shell move) targeting the same invariant
+distribution as ``'mcmc'``, for curved/degenerate shells where fixed-scale
+Metropolis under-mixes. Tunables: ``slice_steps`` (default ``2*x_dim``),
+``slice_width``, ``slice_max_expand``, ``slice_max_shrink``.
 """
 
 from __future__ import annotations
@@ -131,9 +138,17 @@ class NestedSampler(Sampler):
             rejection_adapt_trials=True,
             retrain_nll_threshold=0.5,
             mcmc_gen_batch=8,
-            rejection_gen_batch=8):
+            rejection_gen_batch=8,
+            slice_steps=0,
+            slice_width=1.0,
+            slice_max_expand=4,
+            slice_max_shrink=10):
         if strategy is None or len(strategy) == 0:
             strategy = ['rejection_prior', 'mcmc']
+        unknown = [m for m in strategy if m not in self._METHODS]
+        if unknown:
+            raise ValueError('unknown strategy method(s) %s; choose from %s'
+                             % (unknown, list(self._METHODS)))
         expired = []
         current_method = ''
 
@@ -161,6 +176,17 @@ class NestedSampler(Sampler):
             mcmc_steps = 5 * self.x_dim
         if step_size <= 0.0:
             step_size = 1.0 / self.x_dim ** 0.5
+        if slice_steps <= 0:
+            # One slice move decorrelates along one latent direction, so
+            # ~2 passes over the basis suffice where fixed-scale Metropolis
+            # needs >=5d-20d steps (PolyChord's num_repeats heuristic;
+            # measured on 20-D Rosenbrock, BENCHMARKS.md).
+            slice_steps = 2 * self.x_dim
+        # Likelihood-calls-per-accept proxy for the strategy-expiry
+        # threshold when 'slice' (not 'mcmc') is the downstream method:
+        # each slice step pays ~1 shrink hit + up to max_expand
+        # stepping-out probes.
+        slice_calls = slice_steps * (1 + slice_max_expand)
         if rejection_trials is not None:
             rejection_batch_size = int(rejection_trials)
         rejection_max_trials = max(int(rejection_max_trials),
@@ -404,6 +430,15 @@ class NestedSampler(Sampler):
             def valid(method):
                 return method in strategy and method not in expired
 
+            # The downstream within-shell kernel ('mcmc' or 'slice'; first
+            # non-expired wins) and its likelihood-calls-per-accept cost —
+            # the rejection phases expire once they cost more than it.
+            mcmc_like = next((m for m in strategy
+                              if m in ('mcmc', 'slice')
+                              and m not in expired), None)
+            switch_calls = (slice_calls if mcmc_like == 'slice'
+                            else mcmc_steps)
+
             if current_method != 'rejection_prior' and (
                     first_time or (it % update_interval == 0
                                    and it != last_trained_it)):
@@ -471,9 +506,9 @@ class NestedSampler(Sampler):
                                         * np.log(volume_switch))) - 2
                                 else:
                                     it_stop = 2 ** 30
-                                thr = (0.9 * mcmc_steps
+                                thr = (0.9 * switch_calls
                                        if volume_switch < 0
-                                       and valid('mcmc') else
+                                       and mcmc_like is not None else
                                        np.float32(1e30))
                                 max_gens = min(
                                     rejection_gen_batch,
@@ -548,7 +583,8 @@ class NestedSampler(Sampler):
                             use_flow_batch = bool(np.all(
                                 al32.astype(np.float64) == active_logl))
                             if use_flow_batch:
-                                thr = (0.9 * mcmc_steps if valid('mcmc')
+                                thr = (0.9 * switch_calls
+                                       if mcmc_like is not None
                                        else np.float32(1e30))
                                 max_gens = min(
                                     rejection_gen_batch,
@@ -644,10 +680,12 @@ class NestedSampler(Sampler):
                     switch = False
                     if current_method == 'rejection_prior':
                         switch = (0 <= volume_switch > expected_vol) or (
-                            volume_switch < 0 and mean_calls > mcmc_steps
-                            and valid('mcmc'))
+                            volume_switch < 0
+                            and mean_calls > switch_calls
+                            and mcmc_like is not None)
                     else:
-                        switch = mean_calls > mcmc_steps and valid('mcmc')
+                        switch = (mean_calls > switch_calls
+                                  and mcmc_like is not None)
                     if switch:
                         self.logger.info(
                             '%s no longer efficient, switching sampling '
@@ -674,7 +712,7 @@ class NestedSampler(Sampler):
                     pool_pos = 0
                     need_pool = False
 
-            elif current_method == 'mcmc':
+            elif current_method in ('mcmc', 'slice'):
                 if need_pool:
                     # Multi-generation prefetch is exact only when every
                     # live loglike is f32-representable (the device's
@@ -683,18 +721,31 @@ class NestedSampler(Sampler):
                     # match the host's f64 replay bit-for-bit). All-device
                     # pipelines satisfy this by construction; host
                     # likelihoods returning true f64 values fall back to
-                    # one dispatch per generation.
+                    # one dispatch per generation. The slice kernel shares
+                    # the same buffer: at most one of 'mcmc'/'slice' ever
+                    # runs (neither expires; first in the strategy wins),
+                    # so buffered generations are always from the active
+                    # kernel.
+                    is_slice = current_method == 'slice'
+                    active_d = (active_derived if self.num_derived > 0
+                                else np.empty((self.num_live_points, 0)))
                     use_gen_batch = self.mesh is None and mcmc_gen_batch > 1
                     if use_gen_batch and not mcmc_gen_buffer:
                         al32 = active_logl.astype(np.float32)
                         use_gen_batch = bool(np.all(
                             al32.astype(np.float64) == active_logl))
-                        if use_gen_batch:
+                        if use_gen_batch and is_slice:
+                            mcmc_gen_buffer = self._slice_generations_batch(
+                                slice_steps, active_u, active_logl,
+                                active_d, mcmc_num_chains, slice_width,
+                                it, update_interval, max_iters,
+                                mcmc_gen_batch,
+                                max_expand=slice_max_expand,
+                                max_shrink=slice_max_shrink)
+                        elif use_gen_batch:
                             mcmc_gen_buffer = self._mcmc_generations_batch(
                                 mcmc_steps, active_u, active_logl,
-                                active_derived if self.num_derived > 0
-                                else np.empty((self.num_live_points, 0)),
-                                mcmc_num_chains, step_size, it,
+                                active_d, mcmc_num_chains, step_size, it,
                                 update_interval, max_iters, mcmc_gen_batch,
                                 dynamic_step_size=mcmc_dynamic_step_size)
                     if use_gen_batch and mcmc_gen_buffer:
@@ -709,6 +760,13 @@ class NestedSampler(Sampler):
                                     float(np.float32(loglstar))))
                         (u_f, logl_f, derived_f, moved, mcmc_scale,
                          mean_jump, nc) = self._consume_endpoint_out(out_g)
+                    elif self.mesh is None and is_slice:
+                        (u_f, logl_f, derived_f, moved, mcmc_scale,
+                         mean_jump, nc) = self._slice_sample_live(
+                            slice_steps, active_u, active_logl, active_d,
+                            mcmc_num_chains, loglstar, slice_width,
+                            max_expand=slice_max_expand,
+                            max_shrink=slice_max_shrink)
                     elif self.mesh is None:
                         # Fused single-dispatch path: index draw + live-
                         # point selection + projection + chain scan in one
@@ -732,15 +790,29 @@ class NestedSampler(Sampler):
                         init_derived = (active_derived[idx, :]
                                         if self.num_derived > 0 else
                                         np.empty((mcmc_num_chains, 0)))
-                        (u_f, logl_f, derived_f, moved, mcmc_scale,
-                         mean_jump, nc) = self._mcmc_sample_final(
-                            mcmc_steps, init_samples=init_samples,
-                            init_loglikes=init_loglikes,
-                            init_derived=init_derived, loglstar=loglstar,
-                            step_size=step_size,
-                            dynamic_step_size=mcmc_dynamic_step_size,
-                            stat_moments=(np.mean(active_u, axis=0),
-                                          np.var(active_u, axis=0)))
+                        if is_slice:
+                            (u_f, logl_f, derived_f, moved, mcmc_scale,
+                             mean_jump, nc) = self._slice_sample_final(
+                                slice_steps, slice_width,
+                                init_samples=init_samples,
+                                init_loglikes=init_loglikes,
+                                init_derived=init_derived,
+                                loglstar=loglstar,
+                                max_expand=slice_max_expand,
+                                max_shrink=slice_max_shrink,
+                                stat_moments=(np.mean(active_u, axis=0),
+                                              np.var(active_u, axis=0)))
+                        else:
+                            (u_f, logl_f, derived_f, moved, mcmc_scale,
+                             mean_jump, nc) = self._mcmc_sample_final(
+                                mcmc_steps, init_samples=init_samples,
+                                init_loglikes=init_loglikes,
+                                init_derived=init_derived,
+                                loglstar=loglstar,
+                                step_size=step_size,
+                                dynamic_step_size=mcmc_dynamic_step_size,
+                                stat_moments=(np.mean(active_u, axis=0),
+                                              np.var(active_u, axis=0)))
                     # Chain endpoints are the candidates (nested.py:429-439:
                     # accept iff the chain moved and logl > loglstar).
                     pool = {'u': u_f[moved], 'logl': logl_f[moved],
@@ -1151,7 +1223,10 @@ class NestedSampler(Sampler):
                 pool_state)
 
     # Canonical method keys for fixed-size multi-process encoding.
-    _METHODS = ('rejection_prior', 'rejection_flow', 'density_flow', 'mcmc')
+    # 'slice' appended (checkpoint headers encode strategy entries by
+    # index into this tuple — append-only to keep old checkpoints valid).
+    _METHODS = ('rejection_prior', 'rejection_flow', 'density_flow',
+                'mcmc', 'slice')
     _MAX_STRATEGIES = 8
 
     def _load_checkpoint(self):
