@@ -37,7 +37,7 @@ def analytic_gaussian_logz(dim, lim=3.0, sigma=1.0):
 def run_config(name, dim, seed, log_root, num_live_points, dlogz,
                train_iters, retrain_nll_threshold, mcmc_steps=0,
                mcmc_num_chains=None, gauss_lim=3.0, hidden_dim=16,
-               num_blocks=3):
+               num_blocks=3, strategy=None, slice_steps=0):
     import numpy as np
     from nnest_tpu import NestedSampler
     from nnest_tpu.likelihoods import (
@@ -82,6 +82,10 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
         kw['mcmc_steps'] = int(mcmc_steps)
     if mcmc_num_chains:
         kw['mcmc_num_chains'] = int(mcmc_num_chains)
+    if strategy:
+        kw['strategy'] = list(strategy)
+    if slice_steps:
+        kw['slice_steps'] = int(slice_steps)
     s.run(train_iters=train_iters, dlogz=dlogz, **kw)
     wall = time.time() - t0
     phases = {k: round(v['total_s'], 2)
@@ -119,6 +123,11 @@ def main():
                     help='0 = sampler default (5*dim)')
     ap.add_argument('--mcmc_num_chains', type=int, default=0,
                     help='0 = sampler default')
+    ap.add_argument('--strategy', default='',
+                    help="comma list, e.g. 'rejection_prior,slice' "
+                         "(empty = sampler default ladder)")
+    ap.add_argument('--slice_steps', type=int, default=0,
+                    help='0 = sampler default (2*dim)')
     ap.add_argument('--gauss_lim', type=float, default=3.0,
                     help='half-width (in sigma) of the Gaussian box prior')
     ap.add_argument('--hidden_dim', type=int, default=16)
@@ -149,7 +158,9 @@ def main():
                 args.retrain_nll_threshold, mcmc_steps=args.mcmc_steps,
                 mcmc_num_chains=args.mcmc_num_chains,
                 gauss_lim=args.gauss_lim, hidden_dim=args.hidden_dim,
-                num_blocks=args.num_blocks))
+                num_blocks=args.num_blocks,
+                strategy=[m for m in args.strategy.split(',') if m],
+                slice_steps=args.slice_steps))
         logzs = np.asarray([r['logz'] for r in recs])
         errs = np.asarray([r['logzerr'] for r in recs])
         truth = recs[0]['truth']

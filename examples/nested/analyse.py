@@ -10,8 +10,12 @@ import csv
 import glob
 import json
 import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.realpath(
+    os.path.join(os.path.dirname(__file__), '..', '..')))
 
 
 def read_final_csv(path):

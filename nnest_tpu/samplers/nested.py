@@ -89,6 +89,10 @@ class NestedSampler(Sampler):
         self.insertion_p_value = None
         self.insertion_rolling_p_value = None
         self.logzerr_bootstrap = None
+        self.thread_slots = None
+        # Birth threshold of the initial live set: -inf for a prior-seeded
+        # run; dynamic batches (samplers/dynamic.py) run above a floor.
+        self._birth_floor = -np.inf
 
         super().__init__(
             x_dim, loglike, transform=transform, prior=prior,
@@ -975,6 +979,8 @@ class NestedSampler(Sampler):
         # implementation-error estimate in analyse.py — see
         # bootstrap_logz_error's docstring for the measured limits).
         self.logzerr_bootstrap = None
+        self.thread_slots = (None if saved_slots is None
+                             else np.asarray(saved_slots, dtype=np.int64))
         if saved_slots is not None:
             with self.timers.time('diagnostics'):
                 self.logzerr_bootstrap = bootstrap_logz_error(
@@ -985,6 +991,18 @@ class NestedSampler(Sampler):
             np.save(os.path.join(self.logs['results'],
                                  'insertion_ranks.npy'),
                     self.insertion_ranks.astype(np.uint32))
+            if self.thread_slots is not None:
+                # (death logl, thread slot) record: with n_live this is the
+                # full (birth, death) representation of the run (births are
+                # recoverable per slot — utils/evaluation.thread_birth_logl),
+                # enabling exact cross-run merging and dynamic batches
+                # (arXiv:1704.03459). float64 logl: chain.txt's %.5E text
+                # round-trip is too coarse for evidence recomputation.
+                np.savez(os.path.join(self.logs['results'], 'threads.npz'),
+                         logl=np.asarray(saved_logl, np.float64),
+                         slots=self.thread_slots.astype(np.uint32),
+                         n_live=np.int64(self.num_live_points),
+                         birth_floor=np.float64(self._birth_floor))
             with open(os.path.join(self.logs['results'],
                                    'diagnostics.json'), 'w') as f:
                 json.dump({

@@ -199,3 +199,118 @@ def bootstrap_logz_error(saved_logl, slots, n_live, n_boot=200, seed=0):
         m = logwt.max()
         zs[b] = m + np.log(np.sum(np.exp(logwt - m)))
     return float(np.std(zs))
+
+
+# --------------------------------------------------------------------------
+# Merged-run (dynamic nested sampling) evidence machinery — Higson, Handley,
+# Hobson & Lasenby 2019 ("Dynamic nested sampling", arXiv:1704.03459) and
+# nestcheck's combined-run formalism. NOT in the reference: its nested
+# sampler (nested.py:436-496) only supports a single constant-live-point
+# run. These functions operate on the (birth, death) representation that
+# the sampler's thread tracking already records, enabling (a) exact
+# merging of independent runs into one higher-resolution run and (b)
+# dynamic runs whose batches carry a birth floor. Pure host float64.
+# --------------------------------------------------------------------------
+
+
+def thread_birth_logl(saved_logl, slots, n_live, birth_floor=-np.inf):
+    """Per-point birth log-likelihood from the slot (= thread) record.
+
+    Under in-place replacement the point occupying slot ``k`` was born at
+    the likelihood threshold equal to the PREVIOUS death in slot ``k``
+    (its insertion replaced that death at loglstar = that death's logl);
+    the first occupant of each slot was born at ``birth_floor`` (-inf for
+    a prior-seeded run, the batch floor for a dynamic batch). Vectorized
+    per slot. Returns float64 births aligned with ``saved_logl``."""
+    saved_logl = np.asarray(saved_logl, dtype=np.float64)
+    slots = np.asarray(slots)
+    births = np.full(saved_logl.shape, float(birth_floor), np.float64)
+    for k in range(int(n_live)):
+        idx = np.nonzero(slots == k)[0]
+        if idx.size > 1:
+            births[idx[1:]] = saved_logl[idx[:-1]]
+    return births
+
+
+def merged_run_evidence(logl, birth_logl):
+    """Evidence/weights of a (possibly merged, possibly dynamic) nested
+    run given each point's death and birth log-likelihoods.
+
+    The number of live points at the i-th death (ascending death logl) is
+    ``n_i = #{birth_j < logl_i} - #{death_j < logl_i}`` — a point is alive
+    on the interval (birth, death]. The volume shrinks by the standard
+    ``E[ln t] = -1/n_i`` per death and each point gets the proper mass
+    difference ``X_{i-1} - X_i``, exactly the constant-N accumulation of
+    ``samplers/nested.py:395-403`` generalized to varying ``n_i``. Final
+    live points (deaths never triggered by the sampler) simply appear as
+    deaths with the alive count ramping down — the nestcheck/dynesty tail
+    convention. For a single constant-N run this differs from the run
+    loop's equal-volume-split tail only by O(X_final/N), far below the
+    sqrt(h/N) error at any sane termination dlogz (asserted in tests).
+
+    The logZ variance follows dynesty's accumulation
+    ``var = sum_i dh_i / n_i`` (equal to h/N for constant N).
+
+    Returns a dict: ``logz, h, logzerr, logwt`` (aligned with the INPUT
+    order), ``n_live`` (per-death live counts, in ascending-death order),
+    and ``order`` (the ascending-death permutation)."""
+    logl = np.asarray(logl, dtype=np.float64)
+    birth = np.asarray(birth_logl, dtype=np.float64)
+    if logl.shape != birth.shape:
+        raise ValueError('logl and birth_logl must align')
+    order = np.argsort(logl, kind='stable')
+    l_sorted = logl[order]
+    births_sorted = np.sort(birth)
+    n_alive = (np.searchsorted(births_sorted, l_sorted, side='left')
+               - np.searchsorted(l_sorted, l_sorted, side='left'))
+    n_alive = np.maximum(n_alive, 1)
+    dln = 1.0 / n_alive
+    ln_x_prev = np.concatenate(([0.0], -np.cumsum(dln)[:-1]))
+    logwt_sorted = l_sorted + ln_x_prev + np.log(-np.expm1(-dln))
+    finite = np.isfinite(logwt_sorted)
+    if not np.any(finite):
+        return {'logz': -np.inf, 'h': 0.0, 'logzerr': 0.0,
+                'logwt': logwt_sorted.copy(), 'n_live': n_alive,
+                'order': order}
+    m = np.max(logwt_sorted[finite])
+    w = np.where(finite, np.exp(logwt_sorted - m), 0.0)
+    a_cum = np.cumsum(w)
+    b_cum = np.cumsum(np.where(finite, w * l_sorted, 0.0))
+    logz_cum = m + np.log(np.maximum(a_cum, 1e-300))
+    h_cum = np.where(a_cum > 0, b_cum / np.maximum(a_cum, 1e-300)
+                     - logz_cum, 0.0)
+    dh = np.diff(np.concatenate(([0.0], h_cum)))
+    logzvar = float(np.sum(dh * dln))
+    logwt = np.empty_like(logwt_sorted)
+    logwt[order] = logwt_sorted
+    return {'logz': float(logz_cum[-1]), 'h': float(h_cum[-1]),
+            'logzerr': float(np.sqrt(max(logzvar, 0.0))),
+            'logwt': logwt, 'n_live': n_alive, 'order': order}
+
+
+def merge_runs(runs):
+    """Merge independent nested runs (same likelihood + prior) into one
+    combined run (arXiv:1704.03459 sec 3 / nestcheck ``combine_ns_runs``):
+    concatenate the (death, birth) pairs and recompute the evidence with
+    per-death live counts — the live counts of the constituents ADD over
+    any likelihood interval where both are alive, so K merged constant-N
+    runs behave like one ~K*N-live-point run (error shrinks ~1/sqrt(K)).
+
+    ``runs``: list of dicts with ``logl`` and ``birth_logl`` arrays (e.g.
+    from ``thread_birth_logl`` or a saved ``threads.npz``). Returns the
+    ``merged_run_evidence`` dict plus ``run_index`` / ``point_index``
+    arrays mapping each merged point back to (which run, which row)."""
+    if not runs:
+        raise ValueError('no runs to merge')
+    logl = np.concatenate([np.asarray(r['logl'], np.float64)
+                           for r in runs])
+    birth = np.concatenate([np.asarray(r['birth_logl'], np.float64)
+                            for r in runs])
+    out = merged_run_evidence(logl, birth)
+    out['run_index'] = np.concatenate(
+        [np.full(len(np.asarray(r['logl'])), i, np.int32)
+         for i, r in enumerate(runs)])
+    out['point_index'] = np.concatenate(
+        [np.arange(len(np.asarray(r['logl'])), dtype=np.int64)
+         for r in runs])
+    return out
