@@ -60,7 +60,7 @@ def main(args):
                 continue
             print('\n--------\nDim: %s (%d runs)\n--------' % (d, len(runs)))
             logzs, dlogzs, nlikes, ess, ins_ps = [], [], [], [], []
-            boots = []
+            boots, thread_files, chain_files = [], [], []
             for log_dir, params in runs:
                 fpath = os.path.join(log_dir, 'results', 'final.csv')
                 cpath = os.path.join(log_dir, 'chains', 'chain.txt')
@@ -91,6 +91,11 @@ def main(args):
                     logzs.append(res['logz'])
                     dlogzs.append(res['logzerr'])
                     nlikes.append(res['ncall'])
+                    tpath = os.path.join(log_dir, 'results', 'threads.npz')
+                    if os.path.exists(tpath):
+                        thread_files.append(tpath)
+                        chain_files.append(
+                            cpath if os.path.exists(cpath) else None)
                     if os.path.exists(cpath):
                         w, logl, samp = read_chain(cpath)
                         ess.append(posterior_ess(w))
@@ -139,6 +144,46 @@ def main(args):
                               'results may be biased (try more '
                               'mcmc_steps)' if imp > np.sqrt(var_samp)
                               else ''))
+            if args.merge and len(thread_files) > 1:
+                # Combined-run evidence (arXiv:1704.03459 / nestcheck):
+                # the K runs' live counts add over every likelihood
+                # interval, so the merged estimate behaves like one
+                # ~K*N-live-point run — a 1/sqrt(K) tighter error from
+                # runs you already paid for (the mean±std above treats
+                # them as separate measurements instead).
+                from nnest_tpu.utils.evaluation import (load_threads_npz,
+                                                        merge_runs)
+                parts = [load_threads_npz(t) for t in thread_files]
+                merged = merge_runs(parts)
+                print('Merged logZ (combined run): %.4f +/- %.4f '
+                      '(%d runs, peak live points %d, total N_like %.0f)'
+                      % (merged['logz'], merged['logzerr'],
+                         len(parts), int(np.max(merged['n_live'])),
+                         float(np.sum(nlikes))))
+                if args.merge_chain and all(
+                        c is not None for c in chain_files):
+                    rows, wts = [], np.exp(
+                        merged['logwt'] - merged['logz'])
+                    off = 0
+                    ok = True
+                    for cpath, part in zip(chain_files, parts):
+                        w, logl, samp = read_chain(cpath)
+                        n = part['logl'].size
+                        if samp.shape[0] != n:
+                            print('  (skipping merged chain: %s has %d '
+                                  'rows, threads.npz has %d)'
+                                  % (cpath, samp.shape[0], n))
+                            ok = False
+                            break
+                        rows.append(np.hstack([
+                            wts[off:off + n, None], -logl[:, None], samp]))
+                        off += n
+                    if ok:
+                        out = os.path.join(log_root, 'merged_chain.txt')
+                        np.savetxt(out, np.vstack(rows), fmt='%.5E')
+                        print('Merged posterior chain (ESS %.0f): %s'
+                              % (posterior_ess(np.vstack(rows)[:, 0]),
+                                 out))
 
 
 def _triangle(samples, weights, log_dir):
@@ -179,4 +224,10 @@ if __name__ == '__main__':
     parser.add_argument('--dim', type=int, default=0)
     parser.add_argument('--feedback', type=int, default=0)
     parser.add_argument('-plot', action='store_true')
+    parser.add_argument('--merge', action='store_true',
+                        help='also combine the runs into one merged run '
+                             '(combined-run evidence, arXiv:1704.03459)')
+    parser.add_argument('--merge_chain', action='store_true',
+                        help='with --merge: write merged_chain.txt with '
+                             'combined-run posterior weights')
     main(parser.parse_args())

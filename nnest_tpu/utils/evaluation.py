@@ -288,6 +288,20 @@ def merged_run_evidence(logl, birth_logl):
             'logwt': logwt, 'n_live': n_alive, 'order': order}
 
 
+def load_threads_npz(path):
+    """Load a run's ``results/threads.npz`` artifact into the
+    ``{'logl', 'birth_logl'}`` dict ``merge_runs`` consumes (births
+    reconstructed per slot via ``thread_birth_logl``, honoring the run's
+    saved birth floor)."""
+    rec = np.load(path)
+    logl = np.asarray(rec['logl'], np.float64)
+    floor = float(rec['birth_floor']) if 'birth_floor' in rec else -np.inf
+    return {'logl': logl,
+            'birth_logl': thread_birth_logl(
+                logl, np.asarray(rec['slots']), int(rec['n_live']),
+                birth_floor=floor)}
+
+
 def merge_runs(runs):
     """Merge independent nested runs (same likelihood + prior) into one
     combined run (arXiv:1704.03459 sec 3 / nestcheck ``combine_ns_runs``):

@@ -170,36 +170,83 @@ def test_birth_floor_batch_merge():
     assert np.max(n) > 1.8 * n_live
 
 
-def test_real_run_threads_npz_roundtrip(tmp_path):
+@pytest.fixture(scope='module')
+def gauss_run(tmp_path_factory):
+    """One real 2-D Gaussian run shared by the artifact-level tests.
+    Returns (summary dict, run_dir)."""
+    from nnest_tpu import NestedSampler
+    from nnest_tpu.likelihoods import Gaussian
+
+    root = tmp_path_factory.mktemp('merge_e2e')
+    like = Gaussian(2, 0.0, lim=3.0)
+    s = NestedSampler(2, like, transform=lambda x: 3 * x,
+                      num_live_points=100, hidden_dim=16, num_blocks=3,
+                      flow='spline', log_dir=str(root / 'g2'),
+                      resume=False, seed=0)
+    s.run(train_iters=50, log_interval=50, dlogz=0.1)
+    return ({'logz': float(s.logz), 'logzerr': float(s.logzerr),
+             'loglikes': np.asarray(s.loglikes)}, s.logs['run_dir'])
+
+
+def test_real_run_threads_npz_roundtrip(gauss_run):
     """E2E: a real 2-D Gaussian run writes threads.npz, and the merged-run
     machinery reproduces the run's own logz/logzerr from it (tail
     convention differs only at the O(X_final/N) level)."""
     import math
-    from nnest_tpu import NestedSampler
-    from nnest_tpu.likelihoods import Gaussian
-
-    like = Gaussian(2, 0.0, lim=3.0)
-    s = NestedSampler(2, like, transform=lambda x: 3 * x,
-                      num_live_points=100, hidden_dim=16, num_blocks=3,
-                      flow='spline', log_dir=str(tmp_path / 'g2'),
-                      resume=False, seed=0)
-    s.run(train_iters=50, log_interval=50, dlogz=0.1)
-    path = os.path.join(s.logs['results'], 'threads.npz')
+    s, run_dir = gauss_run
+    path = os.path.join(run_dir, 'results', 'threads.npz')
     assert os.path.exists(path)
     rec = np.load(path)
     assert int(rec['n_live']) == 100
     assert np.isneginf(float(rec['birth_floor']))
     assert rec['logl'].shape == rec['slots'].shape
-    assert rec['logl'].size == s.loglikes.size
-    np.testing.assert_allclose(rec['logl'], s.loglikes, rtol=0, atol=0)
+    assert rec['logl'].size == s['loglikes'].size
+    np.testing.assert_allclose(rec['logl'], s['loglikes'], rtol=0, atol=0)
     births = thread_birth_logl(rec['logl'], rec['slots'],
                                int(rec['n_live']))
     out = merged_run_evidence(rec['logl'], births)
-    assert abs(out['logz'] - s.logz) < 0.01
-    assert out['logzerr'] == pytest.approx(s.logzerr, rel=0.1)
+    assert abs(out['logz'] - s['logz']) < 0.01
+    assert out['logzerr'] == pytest.approx(s['logzerr'], rel=0.1)
     truth = 2 * (math.log(math.erf(3 / math.sqrt(2))) - math.log(6))
     assert abs(out['logz'] - truth) < 4 * out['logzerr']
     # merging the run with itself halves the reported error
     two = merge_runs([{'logl': rec['logl'], 'birth_logl': births}] * 2)
     assert two['logzerr'] == pytest.approx(out['logzerr'] / math.sqrt(2),
                                            rel=0.1)
+
+
+def test_analyse_merge_cli(gauss_run, capsys):
+    """analyse.py --merge combines run dirs via threads.npz: duplicate the
+    run dir and check the merged evidence + chain come out."""
+    import argparse
+    import importlib.util
+    import shutil
+
+    s, run_dir = gauss_run
+    root = os.path.dirname(run_dir)       # .../g2 (contains run1)
+    run2 = os.path.join(root, 'run2')
+    if not os.path.isdir(run2):
+        shutil.copytree(run_dir, run2)
+    spec = importlib.util.spec_from_file_location(
+        'analyse', os.path.join(os.path.dirname(__file__), '..',
+                                'examples', 'nested', 'analyse.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    args = argparse.Namespace(root=root, dim=2, feedback=0, plot=False,
+                              merge=True, merge_chain=True)
+    mod.main(args)
+    outp = capsys.readouterr().out
+    assert 'Merged logZ (combined run):' in outp
+    line = [ln for ln in outp.splitlines()
+            if ln.startswith('Merged logZ')][0]
+    merged_logz = float(line.split(':')[1].split('+/-')[0])
+    merged_err = float(line.split('+/-')[1].split('(')[0])
+    # duplicate-run self-merge: same logz, error down by ~sqrt(2)
+    assert abs(merged_logz - s['logz']) < 0.02
+    assert merged_err == pytest.approx(s['logzerr'] / np.sqrt(2), rel=0.15)
+    assert 'peak live points 200' in line
+    mpath = os.path.join(root, 'merged_chain.txt')
+    assert os.path.exists(mpath)
+    dat = np.loadtxt(mpath)
+    assert dat.shape[0] == 2 * s['loglikes'].size
+    assert np.sum(dat[:, 0]) == pytest.approx(1.0, abs=1e-3)
