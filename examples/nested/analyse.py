@@ -144,7 +144,7 @@ def main(args):
                               'results may be biased (try more '
                               'mcmc_steps)' if imp > np.sqrt(var_samp)
                               else ''))
-            if args.merge and len(thread_files) > 1:
+            if getattr(args, 'merge', False) and len(thread_files) > 1:
                 # Combined-run evidence (arXiv:1704.03459 / nestcheck):
                 # the K runs' live counts add over every likelihood
                 # interval, so the merged estimate behaves like one
@@ -160,7 +160,7 @@ def main(args):
                       % (merged['logz'], merged['logzerr'],
                          len(parts), int(np.max(merged['n_live'])),
                          float(np.sum(nlikes))))
-                if args.merge_chain and all(
+                if getattr(args, 'merge_chain', False) and all(
                         c is not None for c in chain_files):
                     rows, wts = [], np.exp(
                         merged['logwt'] - merged['logz'])
