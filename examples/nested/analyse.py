@@ -38,6 +38,15 @@ def posterior_ess(weights):
 
 
 def main(args):
+    # Normalize optional flags once: programmatic callers (tests,
+    # notebooks) may pass a partial Namespace. Doing it here — rather
+    # than getattr-gating each use site — keeps a future CLI
+    # parser-wiring regression loud (the argparse path always sets
+    # these) while tolerating partial Namespaces uniformly.
+    for k, v in {'merge': False, 'merge_chain': False,
+                 'plot': False}.items():
+        if not hasattr(args, k):
+            setattr(args, k, v)
     log_roots = glob.glob(args.root)
     x_dims = [args.dim] if args.dim != 0 else list(range(2, 51))
 
@@ -144,7 +153,7 @@ def main(args):
                               'results may be biased (try more '
                               'mcmc_steps)' if imp > np.sqrt(var_samp)
                               else ''))
-            if getattr(args, 'merge', False) and len(thread_files) > 1:
+            if args.merge and len(thread_files) > 1:
                 # Combined-run evidence (arXiv:1704.03459 / nestcheck):
                 # the K runs' live counts add over every likelihood
                 # interval, so the merged estimate behaves like one
@@ -160,7 +169,7 @@ def main(args):
                       % (merged['logz'], merged['logzerr'],
                          len(parts), int(np.max(merged['n_live'])),
                          float(np.sum(nlikes))))
-                if getattr(args, 'merge_chain', False) and all(
+                if args.merge_chain and all(
                         c is not None for c in chain_files):
                     rows, wts = [], np.exp(
                         merged['logwt'] - merged['logz'])

@@ -49,6 +49,62 @@ def _is_jax_traceable(fn, example_shape):
         return False
 
 
+def _host_batch_callback(host, row_shapes, mesh):
+    """Wrap a host function mapping ``(n, d) -> tuple of (n, ...)`` arrays
+    as a device function callable inside jit.
+
+    - ``mesh is None``: one ordered ``io_callback`` (single-backend path,
+      unchanged semantics).
+    - ``mesh`` set: a shard_map farm over the mesh's 'dp' axis — each
+      device's shard of the batch is evaluated by its OWNING process's
+      host. This is the TPU-native equivalent of the reference's per-rank
+      MPI likelihood farm (``nnest/nested.py:210-226``): under
+      ``jax.distributed`` every process evaluates only its local rows, in
+      parallel across hosts. (A plain ``io_callback(ordered=True)`` cannot
+      lower under GSPMD — XLA rejects side-effecting HLOs with replicated
+      token sharding — and a single-device callback would funnel every
+      evaluation through rank 0.) The batch is padded to a multiple of dp
+      by repeating row 0; padded rows are evaluated and discarded (trial
+      accounting is host-side, so reported ncall is unaffected). With
+      tp > 1 each dp shard is additionally evaluated once per tp replica;
+      nested/ensemble meshes use tp=1.
+
+    ``row_shapes``: tuple of ``(trailing_shape, dtype)`` per output, e.g.
+    ``(((), jnp.float32), ((num_derived,), jnp.float32))``.
+    """
+    def fn(u):
+        n = u.shape[0]
+        if mesh is None:
+            out = io_callback(
+                host,
+                tuple(jax.ShapeDtypeStruct((n,) + s, d)
+                      for s, d in row_shapes),
+                u, ordered=True)
+            return (tuple(out) if isinstance(out, (tuple, list))
+                    else (out,))
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        dp = mesh.shape['dp']
+        pad = (-n) % dp
+        up = (jnp.concatenate([u, jnp.repeat(u[:1], pad, axis=0)], axis=0)
+              if pad else u)
+
+        def shard_fn(us):
+            m = us.shape[0]
+            out = io_callback(
+                host,
+                tuple(jax.ShapeDtypeStruct((m,) + s, d)
+                      for s, d in row_shapes),
+                us)
+            return (tuple(out) if isinstance(out, (tuple, list))
+                    else (out,))
+
+        out = shard_map(shard_fn, mesh=mesh, in_specs=P('dp'),
+                        out_specs=tuple(P('dp') for _ in row_shapes))(up)
+        return tuple(o[:n] for o in out) if pad else out
+    return fn
+
+
 class Sampler:
 
     def __init__(self,
@@ -335,11 +391,13 @@ class Sampler:
             if _is_jax_traceable(cand, (2, x_dim)):
                 transform_jax = cand
             else:
+                _tf = _host_batch_callback(
+                    lambda a: (np.asarray(current_transform(
+                        np.asarray(a)), dtype=np.float32),),
+                    (((x_dim,), jnp.float32),), self.mesh)
+
                 def transform_jax(u):
-                    return io_callback(
-                        lambda a: np.asarray(current_transform(
-                            np.asarray(a)), dtype=np.float32),
-                        jax.ShapeDtypeStruct(u.shape, jnp.float32), u)
+                    return _tf(u)[0]
 
         # -- likelihood: per-point logpdf vmapped, or traceable batch fn,
         #    or host callback.
@@ -381,13 +439,10 @@ class Sampler:
                 return (logl.astype(np.float32),
                         np.asarray(derived, dtype=np.float32))
 
-            def like_fn(u):
-                n = u.shape[0]
-                return io_callback(
-                    _host_call,
-                    (jax.ShapeDtypeStruct((n,), jnp.float32),
-                     jax.ShapeDtypeStruct((n, num_derived), jnp.float32)),
-                    u, ordered=True)
+            like_fn = _host_batch_callback(
+                _host_call,
+                (((), jnp.float32), ((num_derived,), jnp.float32)),
+                self.mesh)
 
         # -- prior logpdf in u-space.
         if user_prior is None:
@@ -402,11 +457,13 @@ class Sampler:
                     def prior_fn(u):
                         return jax.vmap(p_logpdf)(u)
             else:
+                _pf = _host_batch_callback(
+                    lambda a: (np.asarray(
+                        self.prior(np.asarray(a)), dtype=np.float32),),
+                    (((), jnp.float32),), self.mesh)
+
                 def prior_fn(u):
-                    return io_callback(
-                        lambda a: np.asarray(
-                            self.prior(np.asarray(a)), dtype=np.float32),
-                        jax.ShapeDtypeStruct((u.shape[0],), jnp.float32), u)
+                    return _pf(u)[0]
 
         self._kernels = LatentKernels(
             self.trainer.model, like_fn, prior_fn,

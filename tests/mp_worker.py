@@ -26,6 +26,8 @@ def main():
     p.add_argument('--seed', type=int, default=7)
     p.add_argument('--sampler', default='nested',
                    choices=('nested', 'ensemble'))
+    p.add_argument('--likelihood', default='jax',
+                   choices=('jax', 'blackbox'))
     p.add_argument('--bootstrap_iters', type=int, default=1)
     a = p.parse_args()
 
@@ -52,7 +54,29 @@ def main():
     assert probe['i64'][0] == 2 ** 62 + 3, probe
 
     mesh = get_mesh()  # all global devices on the dp axis
-    like = Gaussian(2, 0.0, lim=3)
+    if a.likelihood == 'blackbox':
+        # Untraceable host likelihood (numpy row loop): exercises the
+        # shard_map io_callback FARM under real multi-process — each rank
+        # evaluates only its local dp shard on its own host, the TPU-native
+        # equivalent of the reference's MPI likelihood farm
+        # (nnest/nested.py:210-226). Same density as Gaussian(2, 0, lim=3)
+        # so the analytic-evidence oracle applies unchanged.
+        import math
+
+        class NumpyOnlyGaussian:
+            x_dim = 2
+
+            def __call__(self, x):
+                x = np.asarray(x, dtype=np.float64)
+                out = np.empty(x.shape[0])
+                for i in range(x.shape[0]):  # untraceable on purpose
+                    out[i] = (-0.5 * np.dot(x[i], x[i])
+                              - math.log(2 * math.pi))
+                return out
+
+        like = NumpyOnlyGaussian()
+    else:
+        like = Gaussian(2, 0.0, lim=3)
 
     if a.sampler == 'ensemble':
         # bootstrap with resume=True: the phase/PRNG/ncall resume decision

@@ -37,6 +37,29 @@ def test_blackbox_nested_run(tmp_path):
     assert abs(s.logz + 3.589) <= 0.6
 
 
+def test_blackbox_mesh_matches_unsharded(tmp_path):
+    """Black-box likelihood under a dp mesh: the shard_map io_callback farm
+    (base.py ``_host_batch_callback``) must reproduce the unsharded run
+    exactly — sharding is a layout choice even when the likelihood lives on
+    the host. (A plain ordered io_callback cannot lower under GSPMD; this
+    pins the farm path that replaces the reference MPI farm,
+    ``nnest/nested.py:210-226``.)"""
+    from nnest_tpu.parallel import get_mesh
+
+    def run(tag, mesh):
+        s = NestedSampler(2, NumpyOnlyGaussian(2),
+                          transform=lambda x: 3 * x, num_live_points=100,
+                          log_dir=str(tmp_path / tag), resume=False,
+                          seed=7, mesh=mesh)
+        s.run(train_iters=50, dlogz=0.3, mcmc_num_chains=16)
+        return s.logz, s.total_calls
+
+    lz_plain, nc_plain = run('plain', None)
+    lz_mesh, nc_mesh = run('mesh', get_mesh(tp=1))
+    assert lz_plain == lz_mesh
+    assert nc_plain == nc_mesh
+
+
 def test_blackbox_matches_jax_path(tmp_path):
     jax_like = Gaussian(2, 0.0, lim=3)
     bb_like = NumpyOnlyGaussian(2)

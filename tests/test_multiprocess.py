@@ -161,6 +161,28 @@ def test_two_process_ensemble_bootstrap_resume(tmp_path):
     assert r0['ncall'] > first[0]['ncall']
 
 
+def test_two_process_blackbox_likelihood(tmp_path):
+    """Black-box (untraceable numpy) likelihood under real multi-process:
+    the shard_map io_callback farm (samplers/base.py
+    ``_host_batch_callback``) evaluates each rank's local dp shard on that
+    rank's host — the working equivalent of the reference's MPI farm for
+    arbitrary Python likelihoods (``nnest/nested.py:210-226``), which was
+    the one reference use-case previously unproven under jax.distributed.
+    Both ranks must stay in lockstep (identical logz/ncall/niter) and the
+    evidence must match the analytic 2-D Gaussian-in-a-box answer."""
+    log_dir = str(tmp_path / 'mpbb')
+    results = _launch(2, log_dir, extra_args=('--likelihood', 'blackbox'))
+
+    r0 = [r for r in results if r['pid'] == 0][0]
+    r1 = [r for r in results if r['pid'] == 1][0]
+    assert r0['nproc'] == 2 and r0['ndev'] == 2
+    assert r0['logz'] == r1['logz']
+    assert r0['ncall'] == r1['ncall']
+    assert r0['niter'] == r1['niter']
+    assert abs(r0['logz'] + 3.589) <= 0.5
+    assert sum(1 for r in results if r['has_logs']) == 1
+
+
 def test_four_process_lockstep(tmp_path):
     """4 jax.distributed processes: the global-mesh collectives and the
     lockstep host loop hold beyond the pairwise case (the reference accepts
