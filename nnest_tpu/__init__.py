@@ -12,11 +12,12 @@ vmapped chains, likelihoods are batched pure-JAX functions, and scaling is via
 
 __version__ = '0.1.0'
 
-__all__ = ['NestedSampler', 'MCMCSampler', 'EnsembleSampler', 'Trainer',
-           '__version__']
+__all__ = ['NestedSampler', 'DynamicNestedSampler', 'MCMCSampler',
+           'EnsembleSampler', 'Trainer', '__version__']
 
 _LAZY = {
     'NestedSampler': 'nnest_tpu.samplers.nested',
+    'DynamicNestedSampler': 'nnest_tpu.samplers.dynamic',
     'MCMCSampler': 'nnest_tpu.samplers.mcmc',
     'EnsembleSampler': 'nnest_tpu.samplers.ensemble',
     'Trainer': 'nnest_tpu.training.trainer',

@@ -146,7 +146,19 @@ class NestedSampler(Sampler):
             slice_steps=0,
             slice_width=1.0,
             slice_max_expand=4,
-            slice_max_shrink=10):
+            slice_max_shrink=10,
+            init_points=None,
+            birth_floor=None,
+            logl_ceiling=None):
+        # Dynamic-batch hooks (samplers/dynamic.py): an externally supplied
+        # initial live set (already uniform within {logl > birth_floor}),
+        # the batch's birth threshold (recorded in threads.npz so merged
+        # evidence reconstructs per-point births correctly), and an upper
+        # likelihood bound — the batch terminates once every live point
+        # exceeds it (Higson et al. 2019 batch runs). All three default to
+        # the plain prior-seeded static run.
+        if birth_floor is not None:
+            self._birth_floor = float(birth_floor)
         if strategy is None or len(strategy) == 0:
             strategy = ['rejection_prior', 'mcmc']
         unknown = [m for m in strategy if m not in self._METHODS]
@@ -208,6 +220,11 @@ class NestedSampler(Sampler):
         controller = None
         pool_state = None
         if state is not None:
+            if init_points is not None:
+                raise ValueError(
+                    'init_points is for fresh dynamic batch runs; this '
+                    'log_dir has a resumable checkpoint (use resume=False '
+                    'or a fresh log_dir)')
             (it, active_u, active_v, active_logl, active_derived, saved_v,
              saved_logl, saved_logwt, logz, h, logvol, fraction_remain,
              strategy, expired, controller, pool_state) = state
@@ -216,12 +233,39 @@ class NestedSampler(Sampler):
                     it, ' (bit-exact)' if controller and pool_state
                     else ''))
         else:
-            active_u = np.asarray(self.sample_prior(self.num_live_points),
-                                  dtype=np.float64)
-            active_v = np.asarray(self.transform(active_u), dtype=np.float64)
-            logl, derived = self.loglike(active_u)
-            active_logl = np.asarray(logl, dtype=np.float64)
-            active_derived = np.asarray(derived, dtype=np.float64)
+            if init_points is not None:
+                # Dynamic batch: the caller supplies live points already
+                # uniform within {logl > birth_floor} (refreshed through
+                # the constrained kernels by DynamicNestedSampler); their
+                # likelihoods were paid for by the seeding kernel, so no
+                # re-evaluation here.
+                active_u = np.asarray(init_points['u'], dtype=np.float64)
+                if active_u.shape != (self.num_live_points, self.x_dim):
+                    raise ValueError(
+                        'init_points u must be (num_live_points, x_dim)')
+                active_v = np.asarray(
+                    init_points.get('v', self.transform(active_u)),
+                    dtype=np.float64)
+                active_logl = np.asarray(init_points['logl'],
+                                         dtype=np.float64)
+                active_derived = np.asarray(
+                    init_points.get('derived',
+                                    np.zeros((self.num_live_points,
+                                              self.num_derived))),
+                    dtype=np.float64).reshape(self.num_live_points, -1)
+                if self._birth_floor > -np.inf and \
+                        not np.all(active_logl > self._birth_floor):
+                    raise ValueError(
+                        'init_points logl must all exceed birth_floor')
+            else:
+                active_u = np.asarray(
+                    self.sample_prior(self.num_live_points),
+                    dtype=np.float64)
+                active_v = np.asarray(self.transform(active_u),
+                                      dtype=np.float64)
+                logl, derived = self.loglike(active_u)
+                active_logl = np.asarray(logl, dtype=np.float64)
+                active_derived = np.asarray(derived, dtype=np.float64)
 
             if self.single_or_primary_process:
                 self.logger.info(
@@ -240,7 +284,8 @@ class NestedSampler(Sampler):
                                    active_derived, saved_v, saved_logl,
                                    saved_logwt, logz, h, logvol,
                                    fraction_remain, strategy, expired,
-                                   insertion_ranks=[], saved_slots=[])
+                                   insertion_ranks=[], saved_slots=[],
+                                   saved_u=[])
 
         # Insertion-rank history for the uniformity diagnostic — restored
         # from the checkpoint on (bit- or statistically-) exact resume so
@@ -254,8 +299,13 @@ class NestedSampler(Sampler):
         if state is not None:
             rs = getattr(self, '_restored_saved_slots', None)
             saved_slots = None if rs is None else [int(x) for x in rs]
+            # u-space dead points (dynamic-batch seeding): restored when
+            # the checkpoint carries them, else unavailable for this run.
+            ru = getattr(self, '_restored_saved_u', None)
+            saved_u = None if ru is None else [np.array(r) for r in ru]
         else:
             saved_slots = []
+            saved_u = []
         first_time = True
         last_trained_it = -1
         need_pool = True
@@ -393,7 +443,9 @@ class NestedSampler(Sampler):
                 'last_io_it': int(last_io_it),
             }
 
-        while fraction_remain > dlogz and it <= max_iters:
+        while fraction_remain > dlogz and it <= max_iters and (
+                logl_ceiling is None
+                or float(np.min(active_logl)) <= logl_ceiling):
 
             worst = int(np.argmin(active_logl))
             logwt = logvol + active_logl[worst]
@@ -419,6 +471,8 @@ class NestedSampler(Sampler):
                     # the single-live-point thread lineage (Higson et al.
                     # 2019 decomposition).
                     saved_slots.append(int(worst))
+                if saved_u is not None:
+                    saved_u.append(np.array(active_u[worst], copy=True))
                 accept_point = False
 
             # Strategy ladder (nested.py:300-309).
@@ -919,7 +973,8 @@ class NestedSampler(Sampler):
                                 controller=controller_snapshot(),
                                 pool_state=pool_state_snapshot(),
                                 insertion_ranks=insertion_ranks,
-                                saved_slots=saved_slots)
+                                saved_slots=saved_slots,
+                                saved_u=saved_u)
                         with self.timers.time('chain_io'):
                             self._save_samples(self.samples, self.loglikes,
                                                weights=self.weights)
@@ -942,6 +997,8 @@ class NestedSampler(Sampler):
             saved_logl.append(active_logl[i])
             if saved_slots is not None:
                 saved_slots.append(i)   # slot i's final point closes thread i
+            if saved_u is not None:
+                saved_u.append(np.array(active_u[i]))
 
         # join any in-flight async triptych render and background
         # checkpoint writes before declaring the run (and its artifacts)
@@ -957,6 +1014,10 @@ class NestedSampler(Sampler):
         self.samples = np.asarray(saved_v)
         self.weights = np.exp(np.asarray(saved_logwt) - logz)
         self.loglikes = np.asarray(saved_logl)
+        # u-space dead points aligned with loglikes/thread_slots (incl. the
+        # final-live tail) — consumed by DynamicNestedSampler to seed
+        # batches from the reconstructed live-at-threshold set.
+        self.saved_u = None if saved_u is None else np.asarray(saved_u)
 
         # Insertion-index uniformity diagnostic (arXiv:2006.03371): ranks
         # are lockstep-identical on every process, so compute everywhere
@@ -998,11 +1059,14 @@ class NestedSampler(Sampler):
                 # enabling exact cross-run merging and dynamic batches
                 # (arXiv:1704.03459). float64 logl: chain.txt's %.5E text
                 # round-trip is too coarse for evidence recomputation.
+                extra = ({'u': np.asarray(saved_u, np.float64)}
+                         if saved_u is not None else {})
                 np.savez(os.path.join(self.logs['results'], 'threads.npz'),
                          logl=np.asarray(saved_logl, np.float64),
                          slots=self.thread_slots.astype(np.uint32),
                          n_live=np.int64(self.num_live_points),
-                         birth_floor=np.float64(self._birth_floor))
+                         birth_floor=np.float64(self._birth_floor),
+                         **extra)
             with open(os.path.join(self.logs['results'],
                                    'diagnostics.json'), 'w') as f:
                 json.dump({
@@ -1107,7 +1171,8 @@ class NestedSampler(Sampler):
                           active_derived, saved_v, saved_logl, saved_logwt,
                           logz, h, logvol, fraction_remain, strategy,
                           expired, controller=None, pool_state=None,
-                          insertion_ranks=None, saved_slots=None):
+                          insertion_ranks=None, saved_slots=None,
+                          saved_u=None):
         """Snapshot checkpoint state on the calling thread (the live
         arrays mutate immediately after) and queue the file IO on the
         serial background writer — checkpoint IO measured ~1 s of a warm
@@ -1138,6 +1203,9 @@ class NestedSampler(Sampler):
                                           dtype=np.uint32),
             'saved_slots': (None if saved_slots is None else
                             np.asarray(saved_slots, dtype=np.uint32)),
+            'saved_u': (None if saved_u is None
+                        else np.asarray(saved_u, dtype=np.float64).reshape(
+                            len(saved_u), self.x_dim)),
             'meta': {'logz': logz, 'h': h, 'logvol': logvol,
                      'ncall': self.total_calls,
                      'fraction_remain': fraction_remain,
@@ -1161,6 +1229,8 @@ class NestedSampler(Sampler):
             if snap['saved_slots'] is not None:
                 np.save(os.path.join(ck, 'saved_slots.npy'),
                         snap['saved_slots'])
+            if snap['saved_u'] is not None:
+                np.save(os.path.join(ck, 'saved_u.npy'), snap['saved_u'])
             # PRNG key + flow params + trainer state + in-flight pool
             # travel as ONE it-stamped file written atomically (tmp +
             # os.replace): they are only bit-exact-valid TOGETHER with the
@@ -1226,6 +1296,19 @@ class NestedSampler(Sampler):
                 self.logger.warning(
                     'Could not restore thread ids (%s); bootstrap '
                     'error diagnostic disabled for this run' % e)
+        # u-space dead points (dynamic-batch seeding): same cadence as the
+        # other saved_* arrays; absent/short disables saved_u for this run.
+        self._restored_saved_u = None
+        su_path = os.path.join(ck, 'saved_u.npy')
+        if os.path.exists(su_path):
+            try:
+                su = np.load(su_path)
+                if len(su) >= it:
+                    self._restored_saved_u = np.array(su[:it])
+            except Exception as e:
+                self.logger.warning(
+                    'Could not restore saved_u (%s); dead-point u record '
+                    'disabled for this run' % e)
         if active_logl.shape[0] != active_u.shape[0]:
             raise ValueError('checkpoint %d: live-point arrays disagree' % it)
         # total_calls is a *global* count on every process here (kernel
