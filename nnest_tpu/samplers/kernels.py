@@ -675,9 +675,15 @@ class LatentKernels:
            t ~ U(L, R); an out-of-slice proposal shrinks the bracket
            toward t=0, an in-slice one is accepted. Lanes that fail to
            accept within ``max_shrink`` stay put (counted in 'rejected';
-           the bracket halves per rejection, so non-acceptance is
-           ~2^-max_shrink and the stationary distribution is preserved to
-           that accuracy).
+           the bracket halves per rejection, so non-acceptance decays
+           geometrically). Measured size of the resulting bias
+           (tests/test_slice_stuck_bias.py): on an adversarial thin
+           curved shell (8-D GaussianShell width 0.05, UNTRAINED flow,
+           width 1.0) the stuck fraction is 0.93% per lane-step at the
+           default ``max_shrink=10`` and 0/4096 at 20; end-to-end on a
+           4-D shell with the normally-trained flow the evidence at 10
+           matches 20 to <1e-4 nats (vs logzerr 0.175) — far below
+           0.1 x logzerr even when stuck events do occur.
 
         ``ncall`` counts likelihood evaluations a sequential implementation
         would pay: lanes whose geometry test (prior box + logdetJ > logy)
