@@ -71,6 +71,7 @@ def main(args):
                 dlogz=args.dlogz,
                 rejection_batch_size=args.rejection_batch_size,
                 mcmc_gen_batch=args.mcmc_gen_batch,
+                mcmc_speculate=args.mcmc_speculate,
                 rejection_gen_batch=args.rejection_gen_batch)
     print('Run time %s' % datetime.timedelta(seconds=time.time() - start))
     print('logz %.3f +/- %.3f (ncall %d)' % (
@@ -105,6 +106,11 @@ if __name__ == '__main__':
     # generations prefetched per dispatch (1 = one dispatch per pool
     # generation; results are bit-identical either way)
     parser.add_argument('--mcmc_gen_batch', type=int, default=8)
+    parser.add_argument('--mcmc_speculate', action='store_true',
+                        help='prefetch MCMC/slice generations past retrain '
+                             'boundaries, betting the NLL gate skips the '
+                             'retrain; lost bets rewind the PRNG key so '
+                             'results stay bit-identical')
     parser.add_argument('--rejection_gen_batch', type=int, default=8)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--resume', action='store_true',

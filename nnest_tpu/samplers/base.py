@@ -659,7 +659,8 @@ class Sampler:
                                 update_interval,
                                 max_iters,
                                 max_gens,
-                                dynamic_step_size=False):
+                                dynamic_step_size=False,
+                                speculate=False):
         """Prefetch up to ``max_gens`` MCMC pool generations in one
         dispatch + ONE batched pull (``LatentKernels.mcmc_pool_generations``
         — on-device pool consumption evolves the live set between
@@ -683,15 +684,11 @@ class Sampler:
                 self.trainer.params, key, active_u, active_logl,
                 active_derived, it, step_size, update_interval, max_iters,
                 num_chains=num_chains, mcmc_steps=mcmc_steps,
-                max_gens=max_gens, dynamic_step_size=dynamic_step_size)
+                max_gens=max_gens, dynamic_step_size=dynamic_step_size,
+                speculate=speculate)
             self._key = key_out
             bufs, meta, n_gens = self._fetch_all((bufs, meta, n_gens))
-        gens = []
-        for g in range(int(n_gens)):
-            gens.append(({k: v[g] for k, v in bufs.items()},
-                         float(meta['start_loglstar'][g]),
-                         int(meta['start_it'][g])))
-        return gens
+        return self._gens_to_buffer(bufs, meta, n_gens)
 
     def _slice_sample_live(self,
                            slice_steps,
@@ -763,7 +760,8 @@ class Sampler:
                                  max_iters,
                                  max_gens,
                                  max_expand=4,
-                                 max_shrink=10):
+                                 max_shrink=10,
+                                 speculate=False):
         """Prefetch up to ``max_gens`` slice pool generations in one
         dispatch — the slice analogue of ``_mcmc_generations_batch`` (same
         on-device pool consumption, key discipline and exactness gate)."""
@@ -776,15 +774,36 @@ class Sampler:
                     active_derived, it, width, update_interval, max_iters,
                     num_chains=num_chains, slice_steps=slice_steps,
                     max_gens=max_gens, max_expand=max_expand,
-                    max_shrink=max_shrink)
+                    max_shrink=max_shrink, speculate=speculate)
             self._key = key_out
             bufs, meta, n_gens = self._fetch_all((bufs, meta, n_gens))
+        return self._gens_to_buffer(bufs, meta, n_gens)
+
+    def _gens_to_buffer(self, bufs, meta, n_gens):
+        """Unstack fetched pool generations into buffer entries
+        ``(out, start_loglstar, start_it, key_before)``; ``key_before`` is
+        None unless the kernel ran speculatively (then it is the PRNG key
+        to rewind to if this generation must be discarded after a lost
+        retrain speculation)."""
+        kb = meta.get('key_before')
         gens = []
         for g in range(int(n_gens)):
             gens.append(({k: v[g] for k, v in bufs.items()},
                          float(meta['start_loglstar'][g]),
-                         int(meta['start_it'][g])))
+                         int(meta['start_it'][g]),
+                         None if kb is None else np.array(kb[g])))
         return gens
+
+    def _rewind_key(self, key_data):
+        """Restore the sampler PRNG key from recorded key data, keeping
+        the current key flavor (legacy uint32 vs typed) so jitted kernels
+        do not retrace on dtype change."""
+        if jnp.issubdtype(jnp.asarray(self._key).dtype,
+                          jax.dtypes.prng_key):
+            self._key = jax.random.wrap_key_data(jnp.asarray(key_data))
+        else:
+            self._key = jnp.asarray(key_data,
+                                    jnp.asarray(self._key).dtype)
 
     def _mcmc_sample(self,
                      mcmc_steps,

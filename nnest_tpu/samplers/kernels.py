@@ -133,7 +133,7 @@ class LatentKernels:
                                   static_argnames=(
                                       'num_chains', 'mcmc_steps',
                                       'max_gens', 'dynamic_step_size',
-                                      'prior_volume_steps'))
+                                      'prior_volume_steps', 'speculate'))
         self._slice = jax.jit(self._slice_impl, static_argnames=(
             'slice_steps', 'max_expand', 'max_shrink', 'own_moments'))
         self._slice_live = jax.jit(self._slice_from_live_impl,
@@ -144,7 +144,7 @@ class LatentKernels:
                                    static_argnames=(
                                        'num_chains', 'slice_steps',
                                        'max_gens', 'max_expand',
-                                       'max_shrink'))
+                                       'max_shrink', 'speculate'))
         self._fusable = None  # resolved lazily (import cycle + cheap check)
         self._rejection_prior = None  # built lazily (needs a prior sampler)
         self._rejection_flow = jax.jit(self._rejection_flow_impl,
@@ -518,7 +518,7 @@ class LatentKernels:
                               active_derived, it, step_size,
                               update_interval, max_iters, *, num_chains,
                               mcmc_steps, max_gens, dynamic_step_size=False,
-                              prior_volume_steps=1):
+                              prior_volume_steps=1, speculate=False):
         """Run up to ``max_gens`` MCMC pool generations in ONE dispatch.
 
         The nested sampler's MCMC phase is dispatch-count bound on the
@@ -565,13 +565,14 @@ class LatentKernels:
             np.int32(update_interval), np.int32(max_iters),
             num_chains=num_chains, mcmc_steps=mcmc_steps,
             max_gens=max_gens, dynamic_step_size=dynamic_step_size,
-            prior_volume_steps=prior_volume_steps)
+            prior_volume_steps=prior_volume_steps, speculate=speculate)
 
     def _mcmc_pool_generations_impl(self, params, key, active_u,
                                     active_logl, active_derived, it0,
                                     step_size, update_interval, max_iters,
                                     *, num_chains, mcmc_steps, max_gens,
-                                    dynamic_step_size, prior_volume_steps):
+                                    dynamic_step_size, prior_volume_steps,
+                                    speculate=False):
         del max_iters  # pure host-side terminator, see _pool_generations
         def core(key_idx, key_chain, au, al, ad, loglstar):
             return self._mcmc_from_live_impl(
@@ -582,22 +583,39 @@ class LatentKernels:
 
         return self._pool_generations(
             core, key, active_u, active_logl, active_derived, it0,
-            update_interval, max_gens)
+            update_interval, max_gens, speculate=speculate)
 
     def _pool_generations(self, core, key, active_u, active_logl,
-                          active_derived, it0, update_interval, max_gens):
+                          active_derived, it0, update_interval, max_gens,
+                          speculate=False):
         """Shared endpoint-kernel pool-generation driver: run ``core``
         (an endpoint-only constrained kernel launched from the live set,
         consuming two keys per generation in ``Sampler._next_key`` order)
         up to ``max_gens`` times in one program, replaying the host's pool
-        consumption on device between generations (``_consume_pool``)."""
+        consumption on device between generations (``_consume_pool``).
+
+        ``speculate=True`` removes the update_interval stop rule: the
+        device keeps generating past retrain boundaries with the CURRENT
+        params, speculating that the host's NLL-gated retrain check
+        (``nested.run(retrain_nll_threshold=...)``) will decide not to
+        retrain — the warm-run common case. To keep the key stream exact
+        when the speculation loses, ``meta['key_before']`` records each
+        generation's key value BEFORE its two splits: the host discards
+        the not-yet-started generations and rewinds its key to the first
+        discarded one, so the regeneration under the new params consumes
+        exactly the keys the one-dispatch-per-generation route would
+        have."""
         out_sd = jax.eval_shape(core, key, key, active_u, active_logl,
                                 active_derived, jnp.float32(0.0))
         bufs0 = jax.tree.map(
             lambda s: jnp.zeros((max_gens,) + tuple(s.shape), s.dtype),
             out_sd)
+        kd0 = jax.random.key_data(key)
         meta0 = {'start_loglstar': jnp.zeros((max_gens,), jnp.float32),
                  'start_it': jnp.zeros((max_gens,), jnp.int32)}
+        if speculate:
+            meta0['key_before'] = jnp.zeros(
+                (max_gens,) + tuple(kd0.shape), kd0.dtype)
 
         def cond(state):
             _, _, _, _, _, gen, stop, _, _ = state
@@ -605,6 +623,7 @@ class LatentKernels:
 
         def body(state):
             key, au, al, ad, it, gen, stop, bufs, meta = state
+            key_before = jax.random.key_data(key)
             key, key_idx = tuple(jax.random.split(key))
             key, key_chain = tuple(jax.random.split(key))
             loglstar = jnp.min(al)
@@ -616,17 +635,21 @@ class LatentKernels:
             bufs = jax.tree.map(
                 lambda b, v: jax.lax.dynamic_update_index_in_dim(
                     b, v, gen, 0), bufs, out)
-            meta = {
-                'start_loglstar': jax.lax.dynamic_update_index_in_dim(
+            meta = dict(
+                meta,
+                start_loglstar=jax.lax.dynamic_update_index_in_dim(
                     meta['start_loglstar'], loglstar, gen, 0),
-                'start_it': jax.lax.dynamic_update_index_in_dim(
-                    meta['start_it'], it, gen, 0)}
+                start_it=jax.lax.dynamic_update_index_in_dim(
+                    meta['start_it'], it, gen, 0))
+            if speculate:
+                meta['key_before'] = jax.lax.dynamic_update_index_in_dim(
+                    meta['key_before'], key_before, gen, 0)
             # NOTE: max_iters is deliberately NOT a stop rule: it is a
             # pure host-side loop terminator. Generations past it are
             # discarded unconsumed, so stopping on it would only change
             # the key stream — a run killed by max_iters must leave the
             # same checkpoint state as a crash at that iteration.
-            stop = crossed
+            stop = (jnp.asarray(False) if speculate else crossed)
             return (key, au, al, ad, it2, gen + jnp.int32(1), stop, bufs,
                     meta)
 
@@ -875,7 +898,8 @@ class LatentKernels:
     def slice_pool_generations(self, params, key, active_u, active_logl,
                                active_derived, it, width, update_interval,
                                max_iters, *, num_chains, slice_steps,
-                               max_gens, max_expand=4, max_shrink=10):
+                               max_gens, max_expand=4, max_shrink=10,
+                               speculate=False):
         """Run up to ``max_gens`` slice pool generations in ONE dispatch —
         the slice analogue of ``mcmc_pool_generations`` (same on-device
         pool-consumption replay, same stop rules, same key discipline; see
@@ -889,13 +913,14 @@ class LatentKernels:
             np.int32(update_interval), np.int32(max_iters),
             num_chains=num_chains, slice_steps=slice_steps,
             max_gens=max_gens, max_expand=max_expand,
-            max_shrink=max_shrink)
+            max_shrink=max_shrink, speculate=speculate)
 
     def _slice_pool_generations_impl(self, params, key, active_u,
                                      active_logl, active_derived, it0,
                                      width, update_interval, max_iters, *,
                                      num_chains, slice_steps, max_gens,
-                                     max_expand, max_shrink):
+                                     max_expand, max_shrink,
+                                     speculate=False):
         del max_iters  # pure host-side terminator, see _pool_generations
         def core(key_idx, key_chain, au, al, ad, loglstar):
             return self._slice_from_live_impl(
@@ -905,7 +930,7 @@ class LatentKernels:
 
         return self._pool_generations(
             core, key, active_u, active_logl, active_derived, it0,
-            update_interval, max_gens)
+            update_interval, max_gens, speculate=speculate)
 
     # ----------------------------------------------------- rejection/prior
 

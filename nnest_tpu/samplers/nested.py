@@ -142,6 +142,7 @@ class NestedSampler(Sampler):
             rejection_adapt_trials=True,
             retrain_nll_threshold=0.5,
             mcmc_gen_batch=8,
+            mcmc_speculate=False,
             rejection_gen_batch=8,
             slice_steps=0,
             slice_width=1.0,
@@ -187,7 +188,12 @@ class NestedSampler(Sampler):
             # accelerators wider chain batches amortize the per-dispatch
             # link latency — the same trick as the reference's MPI
             # candidate pooling (nested.py:416-427), just batched on-chip.
-            mcmc_num_chains = 10 if jax.default_backend() == 'cpu' else 128
+            # Above ~8-D the accept rate per chain drops enough that 256
+            # chains measure ~15% faster end-to-end for +1% ncall
+            # (BENCHMARKS.md chain-width study); below that the wider
+            # batch only burns likelihood calls.
+            mcmc_num_chains = (10 if jax.default_backend() == 'cpu'
+                               else (256 if self.x_dim >= 8 else 128))
         if mcmc_steps <= 0:
             mcmc_steps = 5 * self.x_dim
         if step_size <= 0.0:
@@ -203,6 +209,13 @@ class NestedSampler(Sampler):
         # each slice step pays ~1 shrink hit + up to max_expand
         # stepping-out probes.
         slice_calls = slice_steps * (1 + slice_max_expand)
+        # Speculative prefetch only ever wins through the NLL retrain gate
+        # (an unconditional retrain voids every generation past a
+        # boundary); disabling it here is pure perf — results are
+        # bit-identical either way because lost speculations rewind the
+        # key stream to the unfused route's exact sequence.
+        mcmc_speculate = bool(mcmc_speculate
+                              and retrain_nll_threshold is not None)
         if rejection_trials is not None:
             rejection_batch_size = int(rejection_trials)
         rejection_max_trials = max(int(rejection_max_trials),
@@ -381,7 +394,13 @@ class NestedSampler(Sampler):
                 if 'stats' in pool_state['pool']:
                     pool['stats'] = pool_state['pool']['stats']
                 pool_pos = 0   # remainder was saved from pool_pos onward
-            mcmc_gen_buffer = list(pool_state.get('mcmc_buf') or [])
+            # Back-compat: pre-speculation checkpoints stored 3-tuples
+            # (out, start_loglstar, start_it); newer buffers append the
+            # pre-generation PRNG key data used to rewind after a lost
+            # retrain speculation.
+            mcmc_gen_buffer = [tuple(g) if len(g) == 4 else
+                               (g[0], g[1], g[2], None)
+                               for g in (pool_state.get('mcmc_buf') or [])]
             prior_gen_buffer = list(pool_state.get('prior_buf') or [])
             flow_gen_buffer = list(pool_state.get('flow_buf') or [])
 
@@ -527,6 +546,33 @@ class NestedSampler(Sampler):
                                    .best_validation_loss
                                    + retrain_nll_threshold)
                 if retrain:
+                    if mcmc_gen_buffer:
+                        # Lost speculation (mcmc_speculate=True): the
+                        # not-yet-consumed generations in the buffer were
+                        # produced with the params this retrain is about
+                        # to replace — in the one-dispatch-per-generation
+                        # route they would have been generated AFTER the
+                        # retrain. Discard them and rewind the sampler key
+                        # to just before the first discarded generation's
+                        # two splits, so the regeneration under the new
+                        # params consumes exactly the keys the unfused
+                        # route would have (bit-identical evidence).
+                        kb = mcmc_gen_buffer[0][3]
+                        if kb is None:
+                            raise RuntimeError(
+                                'prefetched MCMC generations span a '
+                                'retrain boundary but carry no rewind key '
+                                '(buffer from a non-speculative dispatch '
+                                'or a pre-speculation checkpoint; did '
+                                'update_interval change across a resume?)')
+                        self._rewind_key(kb)
+                        # The in-flight pool (the generation currently
+                        # being consumed) stays: the unfused route also
+                        # produced it with the pre-retrain params.
+                        self._spec_losses = (
+                            getattr(self, '_spec_losses', 0)
+                            + len(mcmc_gen_buffer))
+                        mcmc_gen_buffer = []
                     with self.timers.time('flow_train'):
                         self.trainer.train(active_u.astype(np.float32),
                                            max_iters=train_iters,
@@ -799,15 +845,17 @@ class NestedSampler(Sampler):
                                 it, update_interval, max_iters,
                                 mcmc_gen_batch,
                                 max_expand=slice_max_expand,
-                                max_shrink=slice_max_shrink)
+                                max_shrink=slice_max_shrink,
+                                speculate=mcmc_speculate)
                         elif use_gen_batch:
                             mcmc_gen_buffer = self._mcmc_generations_batch(
                                 mcmc_steps, active_u, active_logl,
                                 active_d, mcmc_num_chains, step_size, it,
                                 update_interval, max_iters, mcmc_gen_batch,
-                                dynamic_step_size=mcmc_dynamic_step_size)
+                                dynamic_step_size=mcmc_dynamic_step_size,
+                                speculate=mcmc_speculate)
                     if use_gen_batch and mcmc_gen_buffer:
-                        out_g, g_loglstar, g_it = mcmc_gen_buffer.pop(0)
+                        out_g, g_loglstar, g_it, _ = mcmc_gen_buffer.pop(0)
                         if g_it != it or \
                                 g_loglstar != float(np.float32(loglstar)):
                             raise RuntimeError(

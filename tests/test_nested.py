@@ -74,8 +74,9 @@ def test_checkpoint_resume(tmp_path):
     assert abs(s2.logz + 3.589) <= 0.6
 
 
-@pytest.mark.parametrize('volume_switch', [0.5, -1.0])
-def test_bit_exact_resume(tmp_path, volume_switch):
+@pytest.mark.parametrize('volume_switch,speculate',
+                         [(0.5, False), (-1.0, False), (-1.0, True)])
+def test_bit_exact_resume(tmp_path, volume_switch, speculate):
     """Kill-and-resume equals the uninterrupted run BIT-FOR-BIT.
 
     Checkpoints carry the full in-flight sampling state: the proposal/
@@ -96,7 +97,8 @@ def test_bit_exact_resume(tmp_path, volume_switch):
 
     kw = dict(train_iters=50, log_interval=20, dlogz=0.5,
               volume_switch=volume_switch, mcmc_num_chains=10,
-              mcmc_steps=20, rejection_batch_size=32)
+              mcmc_steps=20, rejection_batch_size=32,
+              mcmc_speculate=speculate)
 
     sA = NestedSampler(2, like, transform=lambda x: 3 * x,
                        num_live_points=100,
@@ -386,6 +388,54 @@ def test_mcmc_gen_batch_bit_identical_derived(tmp_path):
                           np.asarray(s.samples))
     assert results[1][:3] == results[8][:3]
     np.testing.assert_array_equal(results[1][3], results[8][3])
+
+
+def test_mcmc_speculate_win_bit_identical(tmp_path):
+    """Speculative prefetch past retrain boundaries (mcmc_speculate=True):
+    when the NLL gate skips every retrain (huge threshold — the warm-run
+    common case the feature bets on), results are bit-identical to the
+    non-speculative route and the MCMC dispatch count drops further
+    (device no longer stops at update_interval boundaries)."""
+    like = Gaussian(2, 0.0, lim=3)
+    results, dispatches = {}, {}
+    for spec in (False, True):
+        s = NestedSampler(2, like, transform=lambda x: 3 * x,
+                          num_live_points=100,
+                          log_dir=str(tmp_path / ('s%d' % spec)),
+                          resume=False, seed=7)
+        s.run(train_iters=50, dlogz=0.5, volume_switch=0.5,
+              mcmc_num_chains=10, mcmc_steps=20, mcmc_gen_batch=8,
+              retrain_nll_threshold=1e9, mcmc_speculate=spec)
+        results[spec] = (s.logz, s.logzerr, s.total_calls)
+        dispatches[spec] = s.timers.summary()['mcmc_kernel']['count']
+        if spec:
+            assert getattr(s, '_spec_losses', 0) == 0
+    assert results[False] == results[True]
+    assert dispatches[True] < dispatches[False], dispatches
+
+
+def test_mcmc_speculate_lost_rewind_bit_identical(tmp_path):
+    """Forced always-retrain (threshold=-1e9): every speculation past a
+    boundary loses. The PRNG-key rewind must regenerate the discarded
+    generations under the new params with exactly the key sequence the
+    one-dispatch-per-generation route consumes — bit-identical evidence,
+    ncall untouched by the discarded device work."""
+    like = Gaussian(2, 0.0, lim=3)
+    results = {}
+    for mode in ('unfused', 'spec'):
+        s = NestedSampler(2, like, transform=lambda x: 3 * x,
+                          num_live_points=100,
+                          log_dir=str(tmp_path / mode),
+                          resume=False, seed=7)
+        s.run(train_iters=50, dlogz=0.5, volume_switch=0.5,
+              mcmc_num_chains=10, mcmc_steps=20,
+              mcmc_gen_batch=1 if mode == 'unfused' else 8,
+              retrain_nll_threshold=-1e9,
+              mcmc_speculate=(mode == 'spec'))
+        results[mode] = (s.logz, s.logzerr, s.total_calls)
+        if mode == 'spec':
+            assert getattr(s, '_spec_losses', 0) > 0
+    assert results['unfused'] == results['spec']
 
 
 def test_rejection_gen_batch_bit_identical(tmp_path):
