@@ -37,7 +37,8 @@ def analytic_gaussian_logz(dim, lim=3.0, sigma=1.0):
 def run_config(name, dim, seed, log_root, num_live_points, dlogz,
                train_iters, retrain_nll_threshold, mcmc_steps=0,
                mcmc_num_chains=None, gauss_lim=3.0, hidden_dim=16,
-               num_blocks=3, strategy=None, slice_steps=0):
+               num_blocks=3, strategy=None, slice_steps=0,
+               mcmc_speculate=False, slice_adapt='cov'):
     import numpy as np
     from nnest_tpu import NestedSampler
     from nnest_tpu.likelihoods import (
@@ -86,6 +87,10 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
         kw['strategy'] = list(strategy)
     if slice_steps:
         kw['slice_steps'] = int(slice_steps)
+    if mcmc_speculate:
+        kw['mcmc_speculate'] = True
+    if slice_adapt != 'cov':
+        kw['slice_adapt'] = slice_adapt
     s.run(train_iters=train_iters, dlogz=dlogz, **kw)
     wall = time.time() - t0
     phases = {k: round(v['total_s'], 2)
@@ -128,6 +133,11 @@ def main():
                          "(empty = sampler default ladder)")
     ap.add_argument('--slice_steps', type=int, default=0,
                     help='0 = sampler default (2*dim)')
+    ap.add_argument('--mcmc_speculate', action='store_true',
+                    help='speculative generation prefetch past retrain '
+                         'boundaries (bit-identical results)')
+    ap.add_argument('--slice_adapt', choices=('cov', 'iso'),
+                    default='cov')
     ap.add_argument('--gauss_lim', type=float, default=3.0,
                     help='half-width (in sigma) of the Gaussian box prior')
     ap.add_argument('--hidden_dim', type=int, default=16)
@@ -160,7 +170,9 @@ def main():
                 gauss_lim=args.gauss_lim, hidden_dim=args.hidden_dim,
                 num_blocks=args.num_blocks,
                 strategy=[m for m in args.strategy.split(',') if m],
-                slice_steps=args.slice_steps))
+                slice_steps=args.slice_steps,
+                mcmc_speculate=args.mcmc_speculate,
+                slice_adapt=args.slice_adapt))
         logzs = np.asarray([r['logz'] for r in recs])
         errs = np.asarray([r['logzerr'] for r in recs])
         truth = recs[0]['truth']

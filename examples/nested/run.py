@@ -72,6 +72,7 @@ def main(args):
                 rejection_batch_size=args.rejection_batch_size,
                 mcmc_gen_batch=args.mcmc_gen_batch,
                 mcmc_speculate=args.mcmc_speculate,
+                slice_adapt=args.slice_adapt,
                 rejection_gen_batch=args.rejection_gen_batch)
     print('Run time %s' % datetime.timedelta(seconds=time.time() - start))
     print('logz %.3f +/- %.3f (ncall %d)' % (
@@ -112,6 +113,10 @@ if __name__ == '__main__':
                              'retrain; lost bets rewind the PRNG key so '
                              'results stay bit-identical')
     parser.add_argument('--rejection_gen_batch', type=int, default=8)
+    parser.add_argument('--slice_adapt', choices=('cov', 'iso'),
+                        default='cov',
+                        help='slice direction law: live-set latent '
+                             'covariance (default) or isotropic')
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--resume', action='store_true',
                         help='fixed run dir + bit-exact resume from its '

@@ -699,7 +699,8 @@ class Sampler:
                            loglstar,
                            width,
                            max_expand=4,
-                           max_shrink=10):
+                           max_shrink=10,
+                           adapt_cov=False):
         """Fused single-dispatch slice-sampling pool generation from the
         live set (``LatentKernels.slice_from_live``) — the slice analogue
         of ``_mcmc_sample_live`` (same key roles and endpoint bookkeeping).
@@ -713,7 +714,7 @@ class Sampler:
                 active_u, active_logl, active_derived,
                 num_chains=num_chains, loglstar=loglstar, width=width,
                 slice_steps=slice_steps, max_expand=max_expand,
-                max_shrink=max_shrink)
+                max_shrink=max_shrink, adapt_cov=adapt_cov)
             out = self._fetch_all(out)
         return self._consume_endpoint_out(out)
 
@@ -727,10 +728,14 @@ class Sampler:
                             max_start_tries=100,
                             max_expand=4,
                             max_shrink=10,
-                            stat_moments=None):
+                            stat_moments=None,
+                            cov_from=None):
         """Endpoint-only slice sampling from explicit start points — the
         slice analogue of ``_mcmc_sample_final`` (used on the mesh route,
         where chain batches are explicitly dp-sharded by ``_mcmc_init``).
+        ``cov_from`` (the f32 live set) enables covariance-adapted
+        directions, computed IN the kernel so the mesh route matches the
+        fused route bit-for-bit.
 
         Returns (u, logl, derived, moved, scale, mean_jump, ncall)."""
         with self.timers.time('mcmc_init'):
@@ -743,7 +748,7 @@ class Sampler:
                 params, self._next_key(), z, logl, derived,
                 loglstar=loglstar, width=width, slice_steps=slice_steps,
                 max_expand=max_expand, max_shrink=max_shrink,
-                stat_moments=stat_moments)
+                stat_moments=stat_moments, cov_from=cov_from)
             jax.block_until_ready(out['final_x'])
         out = self._fetch_all(out)
         return self._consume_endpoint_out(out, ncall_extra=ncall_init)
@@ -761,7 +766,8 @@ class Sampler:
                                  max_gens,
                                  max_expand=4,
                                  max_shrink=10,
-                                 speculate=False):
+                                 speculate=False,
+                                 adapt_cov=False):
         """Prefetch up to ``max_gens`` slice pool generations in one
         dispatch — the slice analogue of ``_mcmc_generations_batch`` (same
         on-device pool consumption, key discipline and exactness gate)."""
@@ -774,7 +780,8 @@ class Sampler:
                     active_derived, it, width, update_interval, max_iters,
                     num_chains=num_chains, slice_steps=slice_steps,
                     max_gens=max_gens, max_expand=max_expand,
-                    max_shrink=max_shrink, speculate=speculate)
+                    max_shrink=max_shrink, speculate=speculate,
+                    adapt_cov=adapt_cov)
             self._key = key_out
             bufs, meta, n_gens = self._fetch_all((bufs, meta, n_gens))
         return self._gens_to_buffer(bufs, meta, n_gens)

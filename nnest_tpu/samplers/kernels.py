@@ -139,12 +139,14 @@ class LatentKernels:
         self._slice_live = jax.jit(self._slice_from_live_impl,
                                    static_argnames=(
                                        'num_chains', 'slice_steps',
-                                       'max_expand', 'max_shrink'))
+                                       'max_expand', 'max_shrink',
+                                       'adapt_cov'))
         self._slice_gens = jax.jit(self._slice_pool_generations_impl,
                                    static_argnames=(
                                        'num_chains', 'slice_steps',
                                        'max_gens', 'max_expand',
-                                       'max_shrink', 'speculate'))
+                                       'max_shrink', 'speculate',
+                                       'adapt_cov'))
         self._fusable = None  # resolved lazily (import cycle + cheap check)
         self._rejection_prior = None  # built lazily (needs a prior sampler)
         self._rejection_flow = jax.jit(self._rejection_flow_impl,
@@ -427,6 +429,38 @@ class LatentKernels:
             dynamic_step_size=dynamic_step_size,
             prior_volume_steps=prior_volume_steps)
 
+    def _latent_cov_chol(self, params, live_u):
+        """Cholesky factor of the live set's LATENT covariance.
+
+        The flow whitens globally, but the within-shell latent cloud can
+        stay strongly anisotropic on curved degeneracies (measured: 20-D
+        Rosenbrock live sets reach condition numbers >> 1 in z,
+        BENCHMARKS.md) — the regime where isotropic slice directions
+        under-mix and the evidence error bar under-covers. Drawing
+        directions ``d = L @ n_hat`` (PolyChord's per-iteration whitening,
+        Handley et al. 2015 §3.2, applied in latent space) gives each
+        slice move the live set's 1-sigma extent along its direction, so
+        ``width=1.0`` brackets stay well-scaled in every direction.
+
+        Exactness: the direction law is a fixed input per pool generation
+        (a function of the live set only, never of the chain state), so
+        the slice kernel's invariant distribution is untouched — any
+        fixed direction distribution with full support is valid.
+
+        A tiny relative jitter keeps the factorization PSD; a NaN factor
+        (degenerate live set) falls back to the diagonal scales."""
+        z, _ = self.model.forward(params, live_u)
+        zc = z - jnp.mean(z, axis=0, keepdims=True)
+        cov = jnp.matmul(zc.T, zc,
+                         precision=jax.lax.Precision.HIGHEST) \
+            / np.float32(z.shape[0])
+        dim = cov.shape[0]
+        eps = 1e-6 * (jnp.trace(cov) / dim + 1e-12)
+        cov = cov + eps * jnp.eye(dim, dtype=cov.dtype)
+        chol = jnp.linalg.cholesky(cov)
+        fallback = jnp.diag(jnp.sqrt(jnp.maximum(jnp.diag(cov), 1e-12)))
+        return jnp.where(jnp.any(jnp.isnan(chol)), fallback, chol)
+
     def _live_starts(self, params, key_idx, active_u, active_logl,
                      active_derived, num_chains):
         """Chain starts drawn uniformly from the live set, on device.
@@ -663,7 +697,7 @@ class LatentKernels:
 
     def slice_(self, params, key, init_z, init_logl, init_derived, *,
                loglstar, width, slice_steps, max_expand=4, max_shrink=10,
-               stat_moments=None):
+               stat_moments=None, cov_from=None):
         """Vectorized constrained latent-space SLICE sampling (Neal 2003).
 
         A capability the reference lacks: its only within-shell kernel is
@@ -726,18 +760,26 @@ class LatentKernels:
             own_moments = False
         return self._slice(params, key, init_z, init_logl, init_derived,
                            np.float32(loglstar), np.float32(width), mu,
-                           var, slice_steps=slice_steps,
+                           var,
+                           None if cov_from is None
+                           else np.asarray(cov_from, np.float32),
+                           slice_steps=slice_steps,
                            max_expand=max_expand, max_shrink=max_shrink,
                            own_moments=own_moments)
 
     def _slice_impl(self, params, key, z0, logl0, derived0, loglstar,
-                    width, stat_mu, stat_var, *, slice_steps, max_expand,
-                    max_shrink, own_moments):
+                    width, stat_mu, stat_var, cov_from=None, *,
+                    slice_steps, max_expand, max_shrink, own_moments):
         like_fn, prior_fn = self.like_fn, self.prior_fn
         num_chains = z0.shape[0]
         logl0 = sanitize_log_density(logl0)
         inverse = self._hot_inverse(params)
         x0, ldj0 = inverse(z0)
+        # Covariance-adapted directions (slice_adapt='cov'): d = L @ n_hat
+        # carries the live set's scale along its direction, so the t-units
+        # bracket of size ``width`` spans width x (1 sigma) everywhere.
+        cov_chol = (None if cov_from is None
+                    else self._latent_cov_chol(params, cov_from))
 
         def in_slice(zc, logy, loglstar):
             """(geom, full, x, ldj, logl, derived): geom = prior box +
@@ -756,6 +798,12 @@ class LatentKernels:
             d = jax.random.normal(kd, z.shape)
             d = d / jnp.maximum(
                 jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+            if cov_chol is not None:
+                # direction values feed only proposal geometry, but keep
+                # the matmul exact so fused/unfused/mesh routes agree
+                # bit-for-bit (TPU matmuls bf16-truncate by default)
+                d = jnp.matmul(d, cov_chol.T,
+                               precision=jax.lax.Precision.HIGHEST)
             # log height: U in (0,1] via log1p(-u) — finite lanes only.
             logy = ldj + jnp.log1p(-jax.random.uniform(kh, (num_chains,)))
             v = jax.random.uniform(kv, (num_chains,))
@@ -870,10 +918,12 @@ class LatentKernels:
     def slice_from_live(self, params, key_idx, key_chain, active_u,
                         active_logl, active_derived, *, num_chains,
                         loglstar, width, slice_steps, max_expand=4,
-                        max_shrink=10):
+                        max_shrink=10, adapt_cov=False):
         """Fused slice-sampling pool generation launched FROM the live set
         in one dispatch — the slice analogue of ``mcmc_from_live`` (same
-        key roles, same exact one-hot start selection)."""
+        key roles, same exact one-hot start selection). ``adapt_cov``
+        draws directions from the live set's latent covariance
+        (``_latent_cov_chol``) instead of the unit sphere."""
         return self._slice_live(
             params, key_idx, key_chain,
             np.asarray(active_u, np.float32),
@@ -881,29 +931,34 @@ class LatentKernels:
             np.asarray(active_derived, np.float32),
             np.float32(loglstar), np.float32(width),
             num_chains=num_chains, slice_steps=slice_steps,
-            max_expand=max_expand, max_shrink=max_shrink)
+            max_expand=max_expand, max_shrink=max_shrink,
+            adapt_cov=adapt_cov)
 
     def _slice_from_live_impl(self, params, key_idx, key_chain, active_u,
                               active_logl, active_derived, loglstar,
                               width, *, num_chains, slice_steps,
-                              max_expand, max_shrink):
+                              max_expand, max_shrink, adapt_cov=False):
         z0, logl0, derived0, _lp, mu, var = self._live_starts(
             params, key_idx, active_u, active_logl, active_derived,
             num_chains)
         return self._slice_impl(
             params, key_chain, z0, logl0, derived0, loglstar, width, mu,
-            var, slice_steps=slice_steps, max_expand=max_expand,
+            var, active_u if adapt_cov else None,
+            slice_steps=slice_steps, max_expand=max_expand,
             max_shrink=max_shrink, own_moments=False)
 
     def slice_pool_generations(self, params, key, active_u, active_logl,
                                active_derived, it, width, update_interval,
                                max_iters, *, num_chains, slice_steps,
                                max_gens, max_expand=4, max_shrink=10,
-                               speculate=False):
+                               speculate=False, adapt_cov=False):
         """Run up to ``max_gens`` slice pool generations in ONE dispatch —
         the slice analogue of ``mcmc_pool_generations`` (same on-device
         pool-consumption replay, same stop rules, same key discipline; see
-        that kernel's docstring for the exactness argument)."""
+        that kernel's docstring for the exactness argument). With
+        ``adapt_cov`` the direction covariance is recomputed per
+        generation from the EVOLVING device live set — exactly the live
+        set the one-dispatch-per-generation route would hand the kernel."""
         return self._slice_gens(
             params, key,
             np.asarray(active_u, np.float32),
@@ -913,20 +968,22 @@ class LatentKernels:
             np.int32(update_interval), np.int32(max_iters),
             num_chains=num_chains, slice_steps=slice_steps,
             max_gens=max_gens, max_expand=max_expand,
-            max_shrink=max_shrink, speculate=speculate)
+            max_shrink=max_shrink, speculate=speculate,
+            adapt_cov=adapt_cov)
 
     def _slice_pool_generations_impl(self, params, key, active_u,
                                      active_logl, active_derived, it0,
                                      width, update_interval, max_iters, *,
                                      num_chains, slice_steps, max_gens,
                                      max_expand, max_shrink,
-                                     speculate=False):
+                                     speculate=False, adapt_cov=False):
         del max_iters  # pure host-side terminator, see _pool_generations
         def core(key_idx, key_chain, au, al, ad, loglstar):
             return self._slice_from_live_impl(
                 params, key_idx, key_chain, au, al, ad, loglstar, width,
                 num_chains=num_chains, slice_steps=slice_steps,
-                max_expand=max_expand, max_shrink=max_shrink)
+                max_expand=max_expand, max_shrink=max_shrink,
+                adapt_cov=adapt_cov)
 
         return self._pool_generations(
             core, key, active_u, active_logl, active_derived, it0,

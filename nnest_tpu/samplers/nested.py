@@ -148,6 +148,7 @@ class NestedSampler(Sampler):
             slice_width=1.0,
             slice_max_expand=4,
             slice_max_shrink=10,
+            slice_adapt='cov',
             init_points=None,
             birth_floor=None,
             logl_ceiling=None):
@@ -204,6 +205,17 @@ class NestedSampler(Sampler):
             # needs >=5d-20d steps (PolyChord's num_repeats heuristic;
             # measured on 20-D Rosenbrock, BENCHMARKS.md).
             slice_steps = 2 * self.x_dim
+        if slice_adapt not in ('cov', 'iso'):
+            raise ValueError("slice_adapt must be 'cov' or 'iso'")
+        # 'cov' (default): slice directions drawn from the live set's
+        # latent covariance (d = L n_hat, PolyChord-style per-generation
+        # whitening in z) — the fix for curved degeneracies where the
+        # globally-whitening flow leaves the within-shell latent cloud
+        # anisotropic (measured on 20-D Rosenbrock, BENCHMARKS.md).
+        # 'iso' restores the round-3 isotropic directions (and their key
+        # stream — the direction draw consumes the same split either way,
+        # only the values differ).
+        slice_adapt_cov = slice_adapt == 'cov'
         # Likelihood-calls-per-accept proxy for the strategy-expiry
         # threshold when 'slice' (not 'mcmc') is the downstream method:
         # each slice step pays ~1 shrink hit + up to max_expand
@@ -846,7 +858,8 @@ class NestedSampler(Sampler):
                                 mcmc_gen_batch,
                                 max_expand=slice_max_expand,
                                 max_shrink=slice_max_shrink,
-                                speculate=mcmc_speculate)
+                                speculate=mcmc_speculate,
+                                adapt_cov=slice_adapt_cov)
                         elif use_gen_batch:
                             mcmc_gen_buffer = self._mcmc_generations_batch(
                                 mcmc_steps, active_u, active_logl,
@@ -872,7 +885,8 @@ class NestedSampler(Sampler):
                             slice_steps, active_u, active_logl, active_d,
                             mcmc_num_chains, loglstar, slice_width,
                             max_expand=slice_max_expand,
-                            max_shrink=slice_max_shrink)
+                            max_shrink=slice_max_shrink,
+                            adapt_cov=slice_adapt_cov)
                     elif self.mesh is None:
                         # Fused single-dispatch path: index draw + live-
                         # point selection + projection + chain scan in one
@@ -907,7 +921,10 @@ class NestedSampler(Sampler):
                                 max_expand=slice_max_expand,
                                 max_shrink=slice_max_shrink,
                                 stat_moments=(np.mean(active_u, axis=0),
-                                              np.var(active_u, axis=0)))
+                                              np.var(active_u, axis=0)),
+                                cov_from=(
+                                    active_u.astype(np.float32)
+                                    if slice_adapt_cov else None))
                         else:
                             (u_f, logl_f, derived_f, moved, mcmc_scale,
                              mean_jump, nc) = self._mcmc_sample_final(

@@ -57,6 +57,38 @@ def test_slice_kernel_stationarity(tmp_path):
     assert bool(np.all(np.asarray(out['moved'])))
 
 
+def test_slice_cov_adapted_stationarity(tmp_path):
+    """Covariance-adapted directions (slice_adapt='cov') must leave the
+    invariant distribution untouched: the direction law is a fixed input
+    (a function of the 'live set' operand only), so the kernel still
+    reproduces uniform box moments exactly like the isotropic variant."""
+    like = Gaussian(2, 0.0, lim=3)
+    s = NestedSampler(2, like, transform=lambda x: 3 * x,
+                      num_live_points=50, log_dir=str(tmp_path / 'cstat'),
+                      resume=False, seed=1)
+    s.trainer.ensure_init()
+    key = jax.random.PRNGKey(0)
+    z0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (4, 2))
+    x0, _ = s.trainer._inverse(s.trainer.params, z0)
+    logl0, derived0 = s.loglike(np.asarray(x0))
+    # deliberately skewed "live set" -> strongly anisotropic direction law
+    rng = np.random.default_rng(3)
+    live = np.clip(rng.normal(size=(50, 2)) * [0.9, 0.05], -1, 1)
+    out = s.kernels.slice_(s.trainer.params, key,
+                           np.asarray(z0, np.float32),
+                           np.asarray(logl0, np.float32),
+                           np.asarray(derived0,
+                                      np.float32).reshape(4, -1)[:, :0],
+                           loglstar=-1e30, width=1.0, slice_steps=600,
+                           cov_from=np.asarray(live, np.float32))
+    chains = np.asarray(out['diag_chains'])
+    xs = chains[:, 100:, :].reshape(-1, 2)
+    assert np.all(np.abs(xs) <= 1.0 + 1e-5)
+    se = 1.0 / math.sqrt(xs.shape[0] / 20.0)
+    assert np.all(np.abs(xs.mean(axis=0)) < 5 * se), xs.mean(axis=0)
+    assert np.allclose(xs.var(axis=0), 1.0 / 3.0, atol=0.05), xs.var(axis=0)
+
+
 def test_slice_respects_likelihood_shell(tmp_path):
     """Hard-shell constraint: every accepted endpoint satisfies
     logl > loglstar; chains that never accept stay at their start."""
