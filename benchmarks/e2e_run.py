@@ -108,6 +108,9 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
         else round(float(s.insertion_p_value), 4),
         'logzerr_bootstrap': None if s.logzerr_bootstrap is None
         else round(float(s.logzerr_bootstrap), 4),
+        'mixing_min_ratio': None
+        if getattr(s, 'mixing_min_ratio', None) is None
+        else round(float(s.mixing_min_ratio), 4),
         'wall_s': round(wall, 1), 'phases': phases,
     }
     print(json.dumps(rec), flush=True)

@@ -294,6 +294,12 @@ class Sampler:
         self._max_log_det_j = None
         self._max_r = None
         self._last_kernel_stats = None
+        # Per-generation start-decorrelation statistics (kernels'
+        # 'mix_ratio' output) from every consumed mcmc/slice pool
+        # generation this run; summarized into diagnostics.json. After a
+        # resume the history covers the post-resume window only (it is a
+        # kernel-health flag, not part of the evidence state).
+        self._mix_ratios = []
         self._io_writer = None  # lazy serial background artifact writer
 
     # ------------------------------------------------------------- params
@@ -601,10 +607,18 @@ class Sampler:
         self.total_rejected += int(out['rejected'])
         self._last_diag_chains = np.asarray(out['diag_chains'],
                                             dtype=np.float64)
+        # 'mix_ratio' may be absent from pool buffers restored out of a
+        # pre-round-4 exact_state.pkl — the diagnostic then just skips
+        # those generations.
+        mix = out.get('mix_ratio')
+        if mix is not None:
+            mix = float(mix)
+            self._mix_ratios.append(mix)
         self._last_kernel_stats = {
             'ess': np.asarray(out['ess'], dtype=np.float64),
             'acceptance': float(out['acceptance']),
             'mean_jump': float(out['mean_jump']),
+            'mix_ratio': mix,
         }
         return (np.asarray(out['final_x'], dtype=np.float64),
                 np.asarray(out['final_logl'], dtype=np.float64),

@@ -85,6 +85,31 @@ def ess_device(chains, mu, var):
     return t / (1.0 + jnp.sum(contrib, axis=0))
 
 
+def mix_ratio_device(z_end, z0):
+    """Start-decorrelation statistic for endpoint kernels, on device.
+
+    Per latent dim, the chains' mean-square displacement from their
+    starts over 2x the start population's variance; the MIN over dims is
+    returned. Endpoints that are fresh draws from the start distribution
+    give E(z_end - z0)^2 = 2 var per dim -> ratio ~1 in every direction;
+    a kernel whose endpoints remember their starts (too few steps, or an
+    un-whitened slow mode on a curved degeneracy) shows << 1 along the
+    slow direction. This is the single-run flag for the regime where the
+    insertion-rank KS and the thread-bootstrap error are both measured
+    blind (between-thread start correlation, BENCHMARKS.md part 4): those
+    tests compare threads to each other, while this one asks whether a
+    thread ever left its parent.
+
+    Latent space is the right basis: the flow globally whitens, so the
+    live-set latent covariance is near-diagonal and per-dim ratios track
+    the kernel's actual proposal geometry (see _latent_cov_chol for the
+    measured residual anisotropy on curved degeneracies).
+    """
+    dz = z_end - z0
+    ref = 2.0 * jnp.var(z0, axis=0) + 1e-12
+    return jnp.min(jnp.mean(dz * dz, axis=0) / ref)
+
+
 class LatentKernels:
     """Kernels bound to a flow model + pure-JAX likelihood/prior closures.
 
@@ -377,6 +402,7 @@ class LatentKernels:
                 'final_derived': carry[5],
                 'moved': moved,
                 'mean_jump': jnp.sum(jumps) / jnp.maximum(total_acc, 1),
+                'mix_ratio': mix_ratio_device(carry[0], z0),
                 'diag_chains': chains[:_N_DIAG],
                 'ess': ess,
                 'acceptance': total_acc / jnp.float32(
@@ -907,6 +933,7 @@ class LatentKernels:
             'final_derived': carry[4],
             'moved': moved,
             'mean_jump': jnp.sum(jumps) / jnp.maximum(total_acc, 1),
+            'mix_ratio': mix_ratio_device(carry[0], z0),
             'diag_chains': chains[:_N_DIAG],
             'ess': ess,
             'acceptance': total_acc / jnp.float32(

@@ -318,6 +318,7 @@ class NestedSampler(Sampler):
         insertion_ranks = ([int(x) for x in
                             getattr(self, '_restored_insertion_ranks', [])]
                            if state is not None else [])
+        self._mix_ratios = []   # fresh mixing history per run() call
         # Dead-point thread ids (live-set slot of each death) for the
         # bootstrap logZ error. None = unavailable (legacy checkpoint
         # without the slot file) — the diagnostic is then skipped.
@@ -434,6 +435,7 @@ class NestedSampler(Sampler):
                         'ess': np.array(st['ess']),
                         'acceptance': float(st['acceptance']),
                         'mean_jump': float(st['mean_jump']),
+                        'mix_ratio': st.get('mix_ratio'),
                     }
             return {
                 'it': int(it),
@@ -1112,6 +1114,18 @@ class NestedSampler(Sampler):
                 self.logzerr_bootstrap = bootstrap_logz_error(
                     np.asarray(saved_logl), np.asarray(saved_slots),
                     self.num_live_points)
+        # Start-decorrelation (kernel mixing) flag: median over this run's
+        # consumed mcmc/slice generations of the min-over-latent-dims MSD
+        # ratio (kernels.mix_ratio_device). ~1 = endpoints forget their
+        # start live point; << 1 = threads stay correlated with their
+        # parents — the under-mixing regime where sqrt(h/N), the
+        # insertion KS, AND the single-run bootstrap all under-report
+        # (measured on the crippled mcmc_steps=2 run, BENCHMARKS.md
+        # part 4). None when no chain kernel ran (pure-rejection runs,
+        # which cannot under-mix).
+        self.mixing_min_ratio = (
+            float(np.median(self._mix_ratios)) if self._mix_ratios
+            else None)
 
         if self.single_or_primary_process and self.logs is not None:
             np.save(os.path.join(self.logs['results'],
@@ -1141,6 +1155,8 @@ class NestedSampler(Sampler):
                     'logzerr': self.logzerr,
                     'logzerr_bootstrap': self.logzerr_bootstrap,
                     'n_ranks': int(self.insertion_ranks.size),
+                    'mixing_min_ratio': self.mixing_min_ratio,
+                    'n_mix_windows': len(self._mix_ratios),
                 }, f)
             with open(os.path.join(self.logs['results'], 'final.csv'),
                       'w') as f:
@@ -1173,6 +1189,18 @@ class NestedSampler(Sampler):
                         'analytic bar; the quoted logZ uncertainty is '
                         'mis-calibrated' if ratio > 2.0 or ratio < 0.5
                         else ''))
+            if self.mixing_min_ratio is not None:
+                self.logger.info(
+                    'Kernel mixing (min-dim start decorrelation): '
+                    '[%4.2f] over [%d] generations%s' % (
+                        self.mixing_min_ratio, len(self._mix_ratios),
+                        ' — WARNING: chain endpoints are correlated '
+                        'with their start live points along at least '
+                        'one latent direction; logzerr likely '
+                        'UNDER-covers (increase mcmc_steps/slice_steps '
+                        'or run multiple seeds and use analyse.py '
+                        'error decomposition)'
+                        if self.mixing_min_ratio < 0.25 else ''))
             phases = self.timers.summary()
             if phases:
                 d = {k: round(v['total_s'], 2) for k, v in phases.items()}

@@ -82,6 +82,47 @@ def test_kolmogorov_pvalue_edges():
     assert kolmogorov_pvalue(0.5, 0) == 1.0
 
 
+def test_mixing_ratio_flags_crippled_run(tmp_path):
+    """Single-run start-decorrelation diagnostic (kernels.mix_ratio_device):
+    a healthy mcmc run's endpoints forget their start live points
+    (ratio ~1), a crippled mcmc_steps=2 run's do not (ratio << 1) — the
+    between-thread correlation regime where the insertion KS and the
+    single-run bootstrap are both measured blind (BENCHMARKS.md part 4)."""
+    import json
+    like = Gaussian(2, 0.0, lim=3)
+    kw = dict(train_iters=50, log_interval=50, dlogz=0.5,
+              strategy=['rejection_prior', 'mcmc'], volume_switch=0.5)
+    runs = {}
+    for name, steps in (('healthy', 0), ('crippled', 2)):
+        s = NestedSampler(2, like, transform=lambda x: 3 * x,
+                          num_live_points=100,
+                          log_dir=str(tmp_path / name),
+                          append_run_num=False, resume=False, seed=11)
+        s.run(mcmc_steps=steps, **kw)
+        assert s.mixing_min_ratio is not None
+        with open(os.path.join(s.log_dir, 'results',
+                               'diagnostics.json')) as f:
+            assert json.load(f)['mixing_min_ratio'] == s.mixing_min_ratio
+        runs[name] = s.mixing_min_ratio
+    assert runs['crippled'] < runs['healthy']
+    assert runs['crippled'] < 0.25      # the WARNING threshold fires
+    assert runs['healthy'] > 0.5
+
+
+def test_mixing_ratio_none_for_pure_rejection(tmp_path):
+    """Rejection-only runs draw every candidate fresh — no chain kernel
+    runs, so the mixing flag must stay None (and diagnostics.json says so)
+    rather than reporting a vacuous 0 or 1."""
+    like = Gaussian(2, 0.0, lim=3)
+    s = NestedSampler(2, like, transform=lambda x: 3 * x,
+                      num_live_points=100,
+                      log_dir=str(tmp_path / 'rej'),
+                      append_run_num=False, resume=False, seed=3)
+    s.run(train_iters=50, dlogz=0.5,
+          strategy=['rejection_prior', 'rejection_flow'])
+    assert s.mixing_min_ratio is None
+
+
 def test_nested_run_reports_uniform_insertion(tmp_path):
     """A well-mixed 2-D Gaussian run must produce uniform insertion ranks
     (p not tiny), one rank per iteration, the saved artifact, and the
