@@ -111,6 +111,8 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
         'mixing_min_ratio': None
         if getattr(s, 'mixing_min_ratio', None) is None
         else round(float(s.mixing_min_ratio), 4),
+        'logzerr_adjusted': round(float(getattr(
+            s, 'logzerr_adjusted', s.logzerr)), 4),
         'wall_s': round(wall, 1), 'phases': phases,
     }
     print(json.dumps(rec), flush=True)
@@ -185,6 +187,14 @@ def main():
             'logz_scatter': round(float(np.std(logzs, ddof=1)), 4)
             if len(seeds) > 1 else None,
             'mean_logzerr': round(float(np.mean(errs)), 4),
+            # calibration check for the mixing-adjusted single-run bar:
+            # seed scatter / mean adjusted sigma should land in ~[0.7,1.5]
+            'mean_logzerr_adjusted': round(float(np.mean(
+                [r['logzerr_adjusted'] for r in recs])), 4),
+            'scatter_over_adjusted': None if len(seeds) < 2 else round(
+                float(np.std(logzs, ddof=1))
+                / max(float(np.mean([r['logzerr_adjusted']
+                                     for r in recs])), 1e-9), 2),
             'truth': truth,
             'mean_wall_s': round(float(np.mean([r['wall_s']
                                                 for r in recs])), 1),

@@ -36,6 +36,7 @@ import csv
 import glob
 import json
 import logging
+import math
 import pickle
 import os
 
@@ -1126,6 +1127,22 @@ class NestedSampler(Sampler):
         self.mixing_min_ratio = (
             float(np.median(self._mix_ratios)) if self._mix_ratios
             else None)
+        # Mixing-adjusted error bar: sqrt(h/N) (and the thread bootstrap)
+        # assume the N live-point threads are independent; when chain
+        # endpoints stay correlated with their start live points, the
+        # effective number of independent threads is ~mix_ratio * N, so
+        # the honest error is sqrt(h / (r*N)) = logzerr / sqrt(r).
+        # Calibration (BENCHMARKS.md round 4): 20-D Rosenbrock seed
+        # scatter / sqrt(h/N) ~ 2.4 at measured r ~ 0.15-0.2
+        # (1/sqrt(r) ~ 2.2-2.6); healthy 10-D Gaussian r ~ 1 leaves the
+        # bar untouched (scatter/sigma 0.73 there). Quoted logzerr keeps
+        # the reference's sqrt(h/N) contract
+        # (/root/reference/nnest/nested.py:506); this field is the
+        # corrected single-run uncertainty for curved-degeneracy regimes.
+        self.logzerr_adjusted = (
+            self.logzerr if self.mixing_min_ratio is None
+            else self.logzerr / math.sqrt(
+                min(1.0, max(self.mixing_min_ratio, 1e-4))))
 
         if self.single_or_primary_process and self.logs is not None:
             np.save(os.path.join(self.logs['results'],
@@ -1157,6 +1174,7 @@ class NestedSampler(Sampler):
                     'n_ranks': int(self.insertion_ranks.size),
                     'mixing_min_ratio': self.mixing_min_ratio,
                     'n_mix_windows': len(self._mix_ratios),
+                    'logzerr_adjusted': self.logzerr_adjusted,
                 }, f)
             with open(os.path.join(self.logs['results'], 'final.csv'),
                       'w') as f:
@@ -1201,6 +1219,12 @@ class NestedSampler(Sampler):
                         'or run multiple seeds and use analyse.py '
                         'error decomposition)'
                         if self.mixing_min_ratio < 0.25 else ''))
+                if self.logzerr_adjusted > 1.5 * self.logzerr:
+                    self.logger.info(
+                        'Mixing-adjusted logZ error: %5.4f '
+                        '(sqrt(h/(r*N)) with r the start-decorrelation '
+                        'ratio; quoted logzerr keeps the sqrt(h/N) '
+                        'convention)' % self.logzerr_adjusted)
             phases = self.timers.summary()
             if phases:
                 d = {k: round(v['total_s'], 2) for k, v in phases.items()}

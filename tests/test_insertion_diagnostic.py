@@ -104,6 +104,10 @@ def test_mixing_ratio_flags_crippled_run(tmp_path):
                                'diagnostics.json')) as f:
             assert json.load(f)['mixing_min_ratio'] == s.mixing_min_ratio
         runs[name] = s.mixing_min_ratio
+        # mixing-adjusted bar: inflated by 1/sqrt(r), never deflated
+        assert s.logzerr_adjusted >= s.logzerr
+        assert abs(s.logzerr_adjusted - s.logzerr
+                   / np.sqrt(min(1.0, s.mixing_min_ratio))) < 1e-12
     assert runs['crippled'] < runs['healthy']
     assert runs['crippled'] < 0.25      # the WARNING threshold fires
     assert runs['healthy'] > 0.5
