@@ -70,6 +70,7 @@ def main(args):
             print('\n--------\nDim: %s (%d runs)\n--------' % (d, len(runs)))
             logzs, dlogzs, nlikes, ess, ins_ps = [], [], [], [], []
             boots, thread_files, chain_files = [], [], []
+            mix_rs = []
             for log_dir, params in runs:
                 fpath = os.path.join(log_dir, 'results', 'final.csv')
                 cpath = os.path.join(log_dir, 'chains', 'chain.txt')
@@ -86,6 +87,10 @@ def main(args):
                             diag = json.load(f)
                         if diag.get('logzerr_bootstrap') is not None:
                             boots.append(float(diag['logzerr_bootstrap']))
+                        if diag.get('mixing_min_ratio') is not None:
+                            mix_rs.append(float(diag['mixing_min_ratio']))
+                            ins += ' mixing_r=%.2f' % \
+                                diag['mixing_min_ratio']
                     if os.path.exists(rpath):
                         from nnest_tpu.utils.evaluation import insertion_ks
                         ranks = np.load(rpath)
@@ -93,7 +98,7 @@ def main(args):
                             ranks, int(params.get('num_live_points',
                                                   max(ranks.max() + 1, 1))))
                         ins_ps.append(p)
-                        ins = ' insertion_p=%.3g' % p
+                        ins = ' insertion_p=%.3g' % p + ins
                     print('  %s: logz=%.3f±%.3f ncall=%d%s' % (
                         log_dir, res['logz'], res['logzerr'],
                         int(res['ncall']), ins))
@@ -136,6 +141,13 @@ def main(args):
                             np.min(ins_ps) * k, 1.0)
                     print('Insertion p: %s (min %.3g over %d runs)' % (
                         comb, np.min(ins_ps), k))
+                if mix_rs:
+                    r = float(np.median(mix_rs))
+                    print('Kernel mixing ratio: %.2f (median)%s' % (
+                        r, ' — WARNING: under-mixed; the per-run '
+                           'sqrt(h/N) bar under-covers by ~1/sqrt(r) '
+                           '= %.1fx' % (1.0 / np.sqrt(max(r, 1e-4)))
+                        if r < 0.25 else ''))
                 if len(boots) > 1 and len(boots) == len(logzs):
                     # nestcheck-style implementation-error decomposition
                     # (arXiv:1804.06406 sec 5): the run-to-run logZ
