@@ -51,13 +51,15 @@ REF_MCMC_EVALS_PER_SEC = 2648.6
 REF_TRAIN_EPOCHS_PER_SEC = 3.06
 REF_NESTED_EVALS_PER_SEC = 2357.2
 REF_REJECTION_CAND_PER_SEC = 112.2
-# Measured 2026-08-17 (torch CPU, 4 threads, benchmarks/ref_shell_bench.py):
-# the reference produced 39 candidates in 62.2 s at its own 90th-pct
-# shell (494 likelihood calls -> ~8% shell acceptance, matching the
-# protocol). Same-day, same-harness permissive re-measurement gave
-# 6.88 cand/s, so the historical 112.2 used for workload D is a
-# deliberately conservative (reference-favoring) ceiling.
-REF_REJECTION_SHELL_CAND_PER_SEC = 0.627
+# Measured 2026-08-19 (torch CPU, 4 threads, benchmarks/ref_shell_bench.py
+# --min_candidates 1000): the reference produced 1220 candidates in
+# 900.2 s at its own 90th-pct shell (10441 likelihood calls -> ~12%
+# shell acceptance) -> 1.355 +/- 0.042 cand/s (bootstrap std). This
+# supersedes the thin 2026-08-17 measurement (39 candidates, 0.627
+# cand/s). Same-harness permissive re-measurement gave 11.3 cand/s, so
+# the historical 112.2 used for workload D remains a deliberately
+# conservative (reference-favoring) ceiling.
+REF_REJECTION_SHELL_CAND_PER_SEC = 1.355
 
 X_DIM = 16
 MCMC_CHAINS = 16384
