@@ -111,6 +111,9 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
         'mixing_min_ratio': None
         if getattr(s, 'mixing_min_ratio', None) is None
         else round(float(s.mixing_min_ratio), 4),
+        'mixing_min_ratio_eig': None
+        if getattr(s, 'mixing_min_ratio_eig', None) is None
+        else round(float(s.mixing_min_ratio_eig), 4),
         'logzerr_adjusted': round(float(getattr(
             s, 'logzerr_adjusted', s.logzerr)), 4),
         'wall_s': round(wall, 1), 'phases': phases,
@@ -196,6 +199,11 @@ def main():
                 / max(float(np.mean([r['logzerr_adjusted']
                                      for r in recs])), 1e-9), 2),
             'truth': truth,
+            'median_mix_eig': None if all(
+                r.get('mixing_min_ratio_eig') is None for r in recs)
+            else round(float(np.median(
+                [r['mixing_min_ratio_eig'] for r in recs
+                 if r.get('mixing_min_ratio_eig') is not None])), 4),
             'mean_wall_s': round(float(np.mean([r['wall_s']
                                                 for r in recs])), 1),
         }

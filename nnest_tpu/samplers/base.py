@@ -300,6 +300,7 @@ class Sampler:
         # resume the history covers the post-resume window only (it is a
         # kernel-health flag, not part of the evidence state).
         self._mix_ratios = []
+        self._mix_ratios_eig = []   # eigenbasis variant (mix_ratio_eig)
         self._io_writer = None  # lazy serial background artifact writer
 
     # ------------------------------------------------------------- params
@@ -614,11 +615,16 @@ class Sampler:
         if mix is not None:
             mix = float(mix)
             self._mix_ratios.append(mix)
+        mix_eig = out.get('mix_ratio_eig')
+        if mix_eig is not None:
+            mix_eig = float(mix_eig)
+            self._mix_ratios_eig.append(mix_eig)
         self._last_kernel_stats = {
             'ess': np.asarray(out['ess'], dtype=np.float64),
             'acceptance': float(out['acceptance']),
             'mean_jump': float(out['mean_jump']),
             'mix_ratio': mix,
+            'mix_ratio_eig': mix_eig,
         }
         return (np.asarray(out['final_x'], dtype=np.float64),
                 np.asarray(out['final_logl'], dtype=np.float64),

@@ -110,6 +110,42 @@ def mix_ratio_device(z_end, z0):
     return jnp.min(jnp.mean(dz * dz, axis=0) / ref)
 
 
+def mix_ratio_eig_device(z_end, z0):
+    """Start-decorrelation along the start population's EIGENdirections.
+
+    Same MSD-over-2-variance statistic as :func:`mix_ratio_device`, but
+    measured in the eigenbasis of the starts' latent covariance and
+    normalized per-direction by that direction's eigenvalue. Rationale
+    (measured, BENCHMARKS.md round 4): the coordinate-basis min falls
+    with dimension even for perfectly calibrated isotropic runs (30-D
+    Gaussian: 0.31 with logZ scatter matching sqrt(h/N) exactly), so it
+    cannot separate "slow everywhere because d is large" from the
+    dangerous regime — a structurally slow PRINCIPAL direction (the
+    20-D Rosenbrock ridge, not axis-aligned, where seed scatter is
+    ~6.7x sqrt(h/N)). Projecting onto eigendirections isolates the
+    ridge: for isotropic sets the eigenbasis is a random rotation and
+    the statistic matches the coordinate one; for a curved degeneracy
+    the top-eigenvalue direction IS the ridge and its ratio collapses.
+
+    Diagnostic-only output: never feeds accept decisions or the key
+    stream, so adding it is bit-neutral for evidence. HIGHEST-precision
+    matmuls because the result calibrates the reported error bar (TPU
+    MXU would bf16-truncate the projections).
+    """
+    n = z0.shape[0]
+    zc = z0 - jnp.mean(z0, axis=0, keepdims=True)
+    cov = jnp.matmul(zc.T, zc,
+                     precision=jax.lax.Precision.HIGHEST) / np.float32(n)
+    dim = cov.shape[0]
+    eps = 1e-6 * (jnp.trace(cov) / dim + 1e-12)
+    cov = cov + eps * jnp.eye(dim, dtype=cov.dtype)
+    w, v = jnp.linalg.eigh(cov)
+    dz = z_end - z0
+    proj = jnp.matmul(dz, v, precision=jax.lax.Precision.HIGHEST)
+    ratio = jnp.mean(proj * proj, axis=0) / (2.0 * w + 1e-12)
+    return jnp.min(ratio)
+
+
 class LatentKernels:
     """Kernels bound to a flow model + pure-JAX likelihood/prior closures.
 
@@ -403,6 +439,7 @@ class LatentKernels:
                 'moved': moved,
                 'mean_jump': jnp.sum(jumps) / jnp.maximum(total_acc, 1),
                 'mix_ratio': mix_ratio_device(carry[0], z0),
+                'mix_ratio_eig': mix_ratio_eig_device(carry[0], z0),
                 'diag_chains': chains[:_N_DIAG],
                 'ess': ess,
                 'acceptance': total_acc / jnp.float32(
@@ -934,6 +971,7 @@ class LatentKernels:
             'moved': moved,
             'mean_jump': jnp.sum(jumps) / jnp.maximum(total_acc, 1),
             'mix_ratio': mix_ratio_device(carry[0], z0),
+            'mix_ratio_eig': mix_ratio_eig_device(carry[0], z0),
             'diag_chains': chains[:_N_DIAG],
             'ess': ess,
             'acceptance': total_acc / jnp.float32(
