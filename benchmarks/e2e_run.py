@@ -114,6 +114,9 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
         'mixing_min_ratio_eig': None
         if getattr(s, 'mixing_min_ratio_eig', None) is None
         else round(float(s.mixing_min_ratio_eig), 4),
+        'latent_cond_median': None
+        if getattr(s, 'latent_cond_median', None) is None
+        else round(float(s.latent_cond_median), 2),
         'logzerr_adjusted': round(float(getattr(
             s, 'logzerr_adjusted', s.logzerr)), 4),
         'wall_s': round(wall, 1), 'phases': phases,
@@ -204,6 +207,11 @@ def main():
             else round(float(np.median(
                 [r['mixing_min_ratio_eig'] for r in recs
                  if r.get('mixing_min_ratio_eig') is not None])), 4),
+            'median_latent_cond': None if all(
+                r.get('latent_cond_median') is None for r in recs)
+            else round(float(np.median(
+                [r['latent_cond_median'] for r in recs
+                 if r.get('latent_cond_median') is not None])), 2),
             'mean_wall_s': round(float(np.mean([r['wall_s']
                                                 for r in recs])), 1),
         }

@@ -301,6 +301,7 @@ class Sampler:
         # kernel-health flag, not part of the evidence state).
         self._mix_ratios = []
         self._mix_ratios_eig = []   # eigenbasis variant (mix_ratio_eig)
+        self._latent_conds = []     # start-population latent condition nos
         self._io_writer = None  # lazy serial background artifact writer
 
     # ------------------------------------------------------------- params
@@ -619,12 +620,17 @@ class Sampler:
         if mix_eig is not None:
             mix_eig = float(mix_eig)
             self._mix_ratios_eig.append(mix_eig)
+        latent_cond = out.get('latent_cond')
+        if latent_cond is not None:
+            latent_cond = float(latent_cond)
+            self._latent_conds.append(latent_cond)
         self._last_kernel_stats = {
             'ess': np.asarray(out['ess'], dtype=np.float64),
             'acceptance': float(out['acceptance']),
             'mean_jump': float(out['mean_jump']),
             'mix_ratio': mix,
             'mix_ratio_eig': mix_eig,
+            'latent_cond': latent_cond,
         }
         return (np.asarray(out['final_x'], dtype=np.float64),
                 np.asarray(out['final_logl'], dtype=np.float64),

@@ -143,7 +143,17 @@ def mix_ratio_eig_device(z_end, z0):
     dz = z_end - z0
     proj = jnp.matmul(dz, v, precision=jax.lax.Precision.HIGHEST)
     ratio = jnp.mean(proj * proj, axis=0) / (2.0 * w + 1e-12)
-    return jnp.min(ratio)
+    # Latent condition number of the start population: lambda_max /
+    # lambda_min. The flow whitens globally, so for problems it can fit
+    # this stays at the sample-covariance noise floor (Marchenko-
+    # Pastur, ~(1+sqrt(d/n))^2/(1-sqrt(d/n))^2); a curved degeneracy it
+    # cannot whiten (20-D Rosenbrock ridge) keeps it large at EVERY
+    # step count — matching the measured step-count-INDEPENDENT excess
+    # logZ scatter that no within-generation mixing statistic can see
+    # (banana@1000 steps: coordinate mix ratio 0.6-0.7, scatter still
+    # ~7x sqrt(h/N); BENCHMARKS.md round 4).
+    cond = w[-1] / jnp.maximum(w[0], 1e-30)
+    return jnp.min(ratio), cond
 
 
 class LatentKernels:
@@ -431,6 +441,7 @@ class LatentKernels:
                 stat_mu = jnp.mean(chains, axis=(0, 1))
                 stat_var = jnp.var(chains, axis=(0, 1))
             ess = ess_device(chains, stat_mu, stat_var)
+            mix_eig, latent_cond = mix_ratio_eig_device(carry[0], z0)
             return dict(common, **{
                 'final_x': carry[1],
                 'final_z': carry[0],
@@ -439,7 +450,8 @@ class LatentKernels:
                 'moved': moved,
                 'mean_jump': jnp.sum(jumps) / jnp.maximum(total_acc, 1),
                 'mix_ratio': mix_ratio_device(carry[0], z0),
-                'mix_ratio_eig': mix_ratio_eig_device(carry[0], z0),
+                'mix_ratio_eig': mix_eig,
+                'latent_cond': latent_cond,
                 'diag_chains': chains[:_N_DIAG],
                 'ess': ess,
                 'acceptance': total_acc / jnp.float32(
@@ -960,6 +972,7 @@ class LatentKernels:
             stat_mu = jnp.mean(chains, axis=(0, 1))
             stat_var = jnp.var(chains, axis=(0, 1))
         ess = ess_device(chains, stat_mu, stat_var)
+        mix_eig, latent_cond = mix_ratio_eig_device(carry[0], z0)
         return {
             'scale': jnp.float32(width),
             'ncall': carry[5],
@@ -971,7 +984,8 @@ class LatentKernels:
             'moved': moved,
             'mean_jump': jnp.sum(jumps) / jnp.maximum(total_acc, 1),
             'mix_ratio': mix_ratio_device(carry[0], z0),
-            'mix_ratio_eig': mix_ratio_eig_device(carry[0], z0),
+            'mix_ratio_eig': mix_eig,
+            'latent_cond': latent_cond,
             'diag_chains': chains[:_N_DIAG],
             'ess': ess,
             'acceptance': total_acc / jnp.float32(

@@ -321,6 +321,7 @@ class NestedSampler(Sampler):
                            if state is not None else [])
         self._mix_ratios = []   # fresh mixing history per run() call
         self._mix_ratios_eig = []
+        self._latent_conds = []
         # Dead-point thread ids (live-set slot of each death) for the
         # bootstrap logZ error. None = unavailable (legacy checkpoint
         # without the slot file) — the diagnostic is then skipped.
@@ -439,6 +440,7 @@ class NestedSampler(Sampler):
                         'mean_jump': float(st['mean_jump']),
                         'mix_ratio': st.get('mix_ratio'),
                         'mix_ratio_eig': st.get('mix_ratio_eig'),
+                        'latent_cond': st.get('latent_cond'),
                     }
             return {
                 'it': int(it),
@@ -1149,6 +1151,15 @@ class NestedSampler(Sampler):
         self.mixing_min_ratio_eig = (
             float(np.median(self._mix_ratios_eig)) if self._mix_ratios_eig
             else None)
+        # Median latent condition number of chain-start populations: the
+        # structural-anisotropy flag. Stays at the sample-covariance
+        # noise floor when the flow whitens the problem; large (every
+        # generation, at every step count) on curved degeneracies the
+        # flow cannot whiten — the regime whose excess logZ scatter is
+        # invisible to within-generation mixing statistics.
+        self.latent_cond_median = (
+            float(np.median(self._latent_conds)) if self._latent_conds
+            else None)
         # Mixing-adjusted error bar: sqrt(h/N) (and the thread bootstrap)
         # assume the N live-point threads are independent; when chain
         # endpoints stay correlated with their start live points, the
@@ -1196,6 +1207,7 @@ class NestedSampler(Sampler):
                     'n_ranks': int(self.insertion_ranks.size),
                     'mixing_min_ratio': self.mixing_min_ratio,
                     'mixing_min_ratio_eig': self.mixing_min_ratio_eig,
+                    'latent_cond_median': self.latent_cond_median,
                     'n_mix_windows': len(self._mix_ratios),
                     'logzerr_adjusted': self.logzerr_adjusted,
                 }, f)
