@@ -114,6 +114,9 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
         'mixing_min_ratio_eig': None
         if getattr(s, 'mixing_min_ratio_eig', None) is None
         else round(float(s.mixing_min_ratio_eig), 4),
+        'mixing_rel_ratio': None
+        if getattr(s, 'mixing_rel_ratio', None) is None
+        else round(float(s.mixing_rel_ratio), 4),
         'latent_cond_median': None
         if getattr(s, 'latent_cond_median', None) is None
         else round(float(s.latent_cond_median), 2),

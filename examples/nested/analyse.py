@@ -87,10 +87,15 @@ def main(args):
                             diag = json.load(f)
                         if diag.get('logzerr_bootstrap') is not None:
                             boots.append(float(diag['logzerr_bootstrap']))
-                        if diag.get('mixing_min_ratio') is not None:
-                            mix_rs.append(float(diag['mixing_min_ratio']))
-                            ins += ' mixing_r=%.2f' % \
-                                diag['mixing_min_ratio']
+                        # prefer the calibrated relative ratio (round 4);
+                        # old diagnostics.json files only carry the
+                        # coordinate-basis mixing_min_ratio
+                        mkey = ('mixing_rel_ratio'
+                                if diag.get('mixing_rel_ratio') is not None
+                                else 'mixing_min_ratio')
+                        if diag.get(mkey) is not None:
+                            mix_rs.append(float(diag[mkey]))
+                            ins += ' mixing_R=%.2f' % diag[mkey]
                     if os.path.exists(rpath):
                         from nnest_tpu.utils.evaluation import insertion_ks
                         ranks = np.load(rpath)
@@ -145,9 +150,10 @@ def main(args):
                     r = float(np.median(mix_rs))
                     print('Kernel mixing ratio: %.2f (median)%s' % (
                         r, ' — WARNING: under-mixed; the per-run '
-                           'sqrt(h/N) bar under-covers by ~1/sqrt(r) '
-                           '= %.1fx' % (1.0 / np.sqrt(max(r, 1e-4)))
-                        if r < 0.25 else ''))
+                           'sqrt(h/N) bar under-covers by ~1/R^2 '
+                           '= %.1fx (see logzerr_adjusted)' % min(
+                               100.0, 1.0 / max(r, 1e-4) ** 2)
+                        if r < 0.7 else ''))
                 if len(boots) > 1 and len(boots) == len(logzs):
                     # nestcheck-style implementation-error decomposition
                     # (arXiv:1804.06406 sec 5): the run-to-run logZ

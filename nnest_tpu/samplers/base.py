@@ -302,6 +302,7 @@ class Sampler:
         self._mix_ratios = []
         self._mix_ratios_eig = []   # eigenbasis variant (mix_ratio_eig)
         self._latent_conds = []     # start-population latent condition nos
+        self._mix_rels = []         # r_eig / kernel-specific healthy null
         self._io_writer = None  # lazy serial background artifact writer
 
     # ------------------------------------------------------------- params
@@ -596,13 +597,23 @@ class Sampler:
             jax.block_until_ready(out['final_x'])
 
         out = self._fetch_all(out)
-        return self._consume_endpoint_out(out, ncall_extra=ncall_init)
+        from nnest_tpu.utils.evaluation import metropolis_mix_null
+        return self._consume_endpoint_out(
+            out, ncall_extra=ncall_init,
+            mix_null=metropolis_mix_null(mcmc_steps, self.x_dim))
 
-    def _consume_endpoint_out(self, out, ncall_extra=0):
+    def _consume_endpoint_out(self, out, ncall_extra=0, mix_null=None):
         """Shared bookkeeping for endpoint-only kernel outputs (counter
         accumulation, diagnostic capture, float64 packing) — used by both
         the explicitly sharded `_mcmc_sample_final` route and the fused
-        `_mcmc_sample_live` route so the two report identical stats."""
+        `_mcmc_sample_live` route so the two report identical stats.
+
+        ``mix_null``: the kernel's expected healthy eigenbasis mixing
+        ratio for this generation's step budget (see
+        ``metropolis_mix_null`` / ``slice_mix_null``). When given and the
+        kernel emitted ``mix_ratio_eig``, the RELATIVE ratio
+        r_eig/mix_null is recorded — the quantity the calibrated
+        logzerr adjustment is a function of (BENCHMARKS.md round 4)."""
         self.total_calls += int(out['ncall'])
         self.total_fast_calls += int(out['fast_calls'])
         self.total_accepted += int(out['accepted'])
@@ -620,6 +631,8 @@ class Sampler:
         if mix_eig is not None:
             mix_eig = float(mix_eig)
             self._mix_ratios_eig.append(mix_eig)
+            if mix_null is not None:
+                self._mix_rels.append(mix_eig / max(mix_null, 1e-6))
         latent_cond = out.get('latent_cond')
         if latent_cond is not None:
             latent_cond = float(latent_cond)
@@ -672,7 +685,9 @@ class Sampler:
                 dynamic_step_size=dynamic_step_size,
                 prior_volume_steps=prior_volume_steps)
             out = self._fetch_all(out)
-        return self._consume_endpoint_out(out)
+        from nnest_tpu.utils.evaluation import metropolis_mix_null
+        return self._consume_endpoint_out(
+            out, mix_null=metropolis_mix_null(mcmc_steps, self.x_dim))
 
     def _mcmc_generations_batch(self,
                                 mcmc_steps,
@@ -742,7 +757,9 @@ class Sampler:
                 slice_steps=slice_steps, max_expand=max_expand,
                 max_shrink=max_shrink, adapt_cov=adapt_cov)
             out = self._fetch_all(out)
-        return self._consume_endpoint_out(out)
+        from nnest_tpu.utils.evaluation import slice_mix_null
+        return self._consume_endpoint_out(
+            out, mix_null=slice_mix_null(slice_steps, self.x_dim))
 
     def _slice_sample_final(self,
                             slice_steps,
@@ -777,7 +794,10 @@ class Sampler:
                 stat_moments=stat_moments, cov_from=cov_from)
             jax.block_until_ready(out['final_x'])
         out = self._fetch_all(out)
-        return self._consume_endpoint_out(out, ncall_extra=ncall_init)
+        from nnest_tpu.utils.evaluation import slice_mix_null
+        return self._consume_endpoint_out(
+            out, ncall_extra=ncall_init,
+            mix_null=slice_mix_null(slice_steps, self.x_dim))
 
     def _slice_generations_batch(self,
                                  slice_steps,

@@ -36,7 +36,6 @@ import csv
 import glob
 import json
 import logging
-import math
 import pickle
 import os
 
@@ -322,6 +321,7 @@ class NestedSampler(Sampler):
         self._mix_ratios = []   # fresh mixing history per run() call
         self._mix_ratios_eig = []
         self._latent_conds = []
+        self._mix_rels = []
         # Dead-point thread ids (live-set slot of each death) for the
         # bootstrap logZ error. None = unavailable (legacy checkpoint
         # without the slot file) — the diagnostic is then skipped.
@@ -884,8 +884,15 @@ class NestedSampler(Sampler):
                                 'replay is at (it=%d, loglstar=%r)' % (
                                     g_it, g_loglstar, it,
                                     float(np.float32(loglstar))))
+                        from nnest_tpu.utils.evaluation import (
+                            metropolis_mix_null, slice_mix_null)
+                        g_null = (slice_mix_null(slice_steps, self.x_dim)
+                                  if is_slice else
+                                  metropolis_mix_null(mcmc_steps,
+                                                      self.x_dim))
                         (u_f, logl_f, derived_f, moved, mcmc_scale,
-                         mean_jump, nc) = self._consume_endpoint_out(out_g)
+                         mean_jump, nc) = self._consume_endpoint_out(
+                            out_g, mix_null=g_null)
                     elif self.mesh is None and is_slice:
                         (u_f, logl_f, derived_f, moved, mcmc_scale,
                          mean_jump, nc) = self._slice_sample_live(
@@ -1160,22 +1167,42 @@ class NestedSampler(Sampler):
         self.latent_cond_median = (
             float(np.median(self._latent_conds)) if self._latent_conds
             else None)
-        # Mixing-adjusted error bar: sqrt(h/N) (and the thread bootstrap)
-        # assume the N live-point threads are independent; when chain
-        # endpoints stay correlated with their start live points, the
-        # effective number of independent threads is ~mix_ratio * N, so
-        # the honest error is sqrt(h / (r*N)) = logzerr / sqrt(r).
-        # Calibration (BENCHMARKS.md round 4): 20-D Rosenbrock seed
-        # scatter / sqrt(h/N) ~ 2.4 at measured r ~ 0.15-0.2
-        # (1/sqrt(r) ~ 2.2-2.6); healthy 10-D Gaussian r ~ 1 leaves the
-        # bar untouched (scatter/sigma 0.73 there). Quoted logzerr keeps
-        # the reference's sqrt(h/N) contract
+        # Mixing-adjusted error bar. sqrt(h/N) (and the thread bootstrap)
+        # assume the N live-point threads explore the constrained prior
+        # independently; on curved degeneracies the flow cannot whiten
+        # (20-D Rosenbrock) the live set stays collectively clustered and
+        # seed scatter runs ~3-7x sqrt(h/N) at EVERY step count — a
+        # failure no marginal test sees (insertion KS, single-run
+        # bootstrap both measured blind, BENCHMARKS.md parts 4 + round 4).
+        # The calibrated single-run predictor is the RELATIVE eigenbasis
+        # mixing ratio R = median(r_eig / kernel_null): r_eig is the
+        # min-over-eigendirections start-decorrelation of each pool
+        # generation, and kernel_null the value healthy (scatter ==
+        # sqrt(h/N)) Gaussian controls achieve at the same step budget
+        # (utils/evaluation.metropolis_mix_null / slice_mix_null).
+        # Measured inflation (BENCHMARKS.md round 4) follows 1/R^2:
+        #   g10     R 1.00 needed 1.13 | g30      R 1.07 needed 1.02
+        #   rb20@5d R 0.41 needed 6.7  | rb20@50d R 0.56 needed 3.2
+        # (the d-confounded coordinate ratio and the raw 1/sqrt(r) law
+        # both failed the 30-D control). Quoted logzerr keeps the
+        # reference's sqrt(h/N) contract
         # (/root/reference/nnest/nested.py:506); this field is the
-        # corrected single-run uncertainty for curved-degeneracy regimes.
+        # corrected single-run uncertainty. Capped at 100x: below
+        # R ~ 0.1 the run is broken, not merely wide. The adjustment is
+        # applied only inside its calibration domain, x_dim >= 8 (all
+        # calibration regimes are 10-50-D at the production chain
+        # widths): low-D curved problems measure R << 1 yet calibrate
+        # at or BELOW sqrt(h/N) (2-D Rosenbrock seed scatter 0.063 vs
+        # sigma 0.22 — unimodal, ridge densely covered by the live
+        # set), so inflating there would be pure over-coverage. The
+        # diagnostic fields are recorded at every dim regardless.
+        self.mixing_rel_ratio = (
+            float(np.median(self._mix_rels)) if self._mix_rels else None)
         self.logzerr_adjusted = (
-            self.logzerr if self.mixing_min_ratio is None
-            else self.logzerr / math.sqrt(
-                min(1.0, max(self.mixing_min_ratio, 1e-4))))
+            self.logzerr
+            if (self.mixing_rel_ratio is None or self.x_dim < 8)
+            else self.logzerr * min(
+                100.0, max(1.0, self.mixing_rel_ratio ** -2)))
 
         if self.single_or_primary_process and self.logs is not None:
             np.save(os.path.join(self.logs['results'],
@@ -1207,6 +1234,7 @@ class NestedSampler(Sampler):
                     'n_ranks': int(self.insertion_ranks.size),
                     'mixing_min_ratio': self.mixing_min_ratio,
                     'mixing_min_ratio_eig': self.mixing_min_ratio_eig,
+                    'mixing_rel_ratio': self.mixing_rel_ratio,
                     'latent_cond_median': self.latent_cond_median,
                     'n_mix_windows': len(self._mix_ratios),
                     'logzerr_adjusted': self.logzerr_adjusted,
@@ -1242,24 +1270,29 @@ class NestedSampler(Sampler):
                         'analytic bar; the quoted logZ uncertainty is '
                         'mis-calibrated' if ratio > 2.0 or ratio < 0.5
                         else ''))
-            if self.mixing_min_ratio is not None:
+            if self.mixing_rel_ratio is not None:
                 self.logger.info(
-                    'Kernel mixing (min-dim start decorrelation): '
-                    '[%4.2f] over [%d] generations%s' % (
-                        self.mixing_min_ratio, len(self._mix_ratios),
-                        ' — WARNING: chain endpoints are correlated '
-                        'with their start live points along at least '
-                        'one latent direction; logzerr likely '
-                        'UNDER-covers (increase mcmc_steps/slice_steps '
-                        'or run multiple seeds and use analyse.py '
-                        'error decomposition)'
-                        if self.mixing_min_ratio < 0.25 else ''))
+                    'Kernel mixing (eigenbasis start decorrelation '
+                    'relative to healthy null): [%4.2f] over [%d] '
+                    'generations%s' % (
+                        self.mixing_rel_ratio, len(self._mix_rels),
+                        ' — WARNING: the slowest latent direction '
+                        'decorrelates far below what a whitened run '
+                        'achieves at this step budget (curved '
+                        'degeneracy / unwhitened slow mode); logzerr '
+                        'likely UNDER-covers — use logzerr_adjusted, '
+                        'and prefer slice_adapt=\'cov\' slice sampling '
+                        'or more steps'
+                        if (self.mixing_rel_ratio < 0.7
+                            and self.x_dim >= 8) else ''))
                 if self.logzerr_adjusted > 1.5 * self.logzerr:
                     self.logger.info(
                         'Mixing-adjusted logZ error: %5.4f '
-                        '(sqrt(h/(r*N)) with r the start-decorrelation '
-                        'ratio; quoted logzerr keeps the sqrt(h/N) '
-                        'convention)' % self.logzerr_adjusted)
+                        '(= logzerr / R^2 with R the relative '
+                        'eigenbasis mixing ratio, calibrated in '
+                        'BENCHMARKS.md round 4; quoted logzerr keeps '
+                        'the sqrt(h/N) convention)'
+                        % self.logzerr_adjusted)
             phases = self.timers.summary()
             if phases:
                 d = {k: round(v['total_s'], 2) for k, v in phases.items()}

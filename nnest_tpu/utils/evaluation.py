@@ -328,3 +328,30 @@ def merge_runs(runs):
         [np.arange(len(np.asarray(r['logl'])), dtype=np.int64)
          for r in runs])
     return out
+
+
+def metropolis_mix_null(steps, dim):
+    """Expected healthy eigenbasis mixing ratio for the constrained
+    Metropolis kernel at this step budget.
+
+    Measured on calibrated (seed-scatter == sqrt(h/N)) Gaussian runs at
+    production settings (256 chains, auto-adapted scale): the
+    min-over-eigendirections start-decorrelation ratio scales as
+    c * steps / dim^2 with c ~= 1.4 (10-D/50 steps -> 0.68, 30-D/150
+    steps -> 0.24; BENCHMARKS.md round 4). A random-walk kernel pays a
+    dim factor for the step-size scaling and another for the
+    min-statistic over dim directions. The RELATIVE ratio
+    measured/expected is ~1 on whitened unimodal problems at any dim
+    and collapses on curved degeneracies the flow cannot whiten — the
+    regime where sqrt(h/N) under-covers.
+    """
+    return min(1.0, 1.4 * steps / float(dim) ** 2)
+
+
+def slice_mix_null(steps, dim, calibration=1.0):
+    """Expected healthy eigenbasis mixing ratio for the latent slice
+    kernel: each slice move fully decorrelates one random direction, so
+    after k steps a given direction was hit ~k/dim times and the
+    frozen fraction decays as exp(-k/dim) (measured calibration factor
+    applied on top; BENCHMARKS.md round 4)."""
+    return min(1.0, calibration * (1.0 - float(np.exp(-steps / float(dim)))))
