@@ -1196,13 +1196,11 @@ class NestedSampler(Sampler):
         # sigma 0.22 — unimodal, ridge densely covered by the live
         # set), so inflating there would be pure over-coverage. The
         # diagnostic fields are recorded at every dim regardless.
+        from nnest_tpu.utils.evaluation import adjusted_logzerr
         self.mixing_rel_ratio = (
             float(np.median(self._mix_rels)) if self._mix_rels else None)
-        self.logzerr_adjusted = (
-            self.logzerr
-            if (self.mixing_rel_ratio is None or self.x_dim < 8)
-            else self.logzerr * min(
-                100.0, max(1.0, self.mixing_rel_ratio ** -2)))
+        self.logzerr_adjusted = adjusted_logzerr(
+            self.logzerr, self._mix_rels, self.x_dim)
 
         if self.single_or_primary_process and self.logs is not None:
             np.save(os.path.join(self.logs['results'],

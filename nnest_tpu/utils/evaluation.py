@@ -360,3 +360,19 @@ def slice_mix_null(steps, dim):
     Rosenbrock slice A/B at 100 and 400 steps (BENCHMARKS.md round 4).
     """
     return min(1.0, 1.0 - float(np.exp(-1.3 * steps / float(dim) ** 1.6)))
+
+
+def adjusted_logzerr(logzerr, mix_rels, x_dim):
+    """Calibrated single-run logZ uncertainty (BENCHMARKS.md round 4).
+
+    ``mix_rels``: per-generation relative eigenbasis mixing ratios
+    (measured / kernel null). Inflation follows 1/R^2 of the median,
+    clipped to [1, 100], applied only inside the calibration domain
+    (x_dim >= 8; low-D curved problems measure R << 1 yet calibrate at
+    or below sqrt(h/N)). Falls back to the raw sqrt(h/N) bar when no
+    chain kernel ran (pure-rejection runs cannot under-mix).
+    """
+    if not mix_rels or x_dim < 8:
+        return float(logzerr)
+    r = float(np.median(mix_rels))
+    return float(logzerr) * min(100.0, max(1.0, r ** -2))

@@ -211,3 +211,16 @@ def test_mix_ratio_eig_isolates_rotated_ridge():
     r_eig_h, cond_h = map(float, mix_ratio_eig_device(f32(draw()), f32(z0)))
     assert 0.8 < r_eig_h < 1.25
     assert abs(cond_h - 144.0) / 144.0 < 0.2
+
+
+def test_adjusted_logzerr_law():
+    """The calibrated 1/R^2 inflation (utils.evaluation.adjusted_logzerr):
+    clipped to [1, 100], median over generations, applied only inside the
+    x_dim >= 8 calibration domain, raw bar when no chain kernel ran."""
+    from nnest_tpu.utils.evaluation import adjusted_logzerr
+    assert adjusted_logzerr(0.3, [], 20) == 0.3            # pure rejection
+    assert adjusted_logzerr(0.3, [0.5], 2) == 0.3          # low-D gate
+    assert abs(adjusted_logzerr(0.3, [0.5], 20) - 1.2) < 1e-12
+    assert abs(adjusted_logzerr(0.3, [0.4, 0.5, 0.6], 20) - 1.2) < 1e-12
+    assert adjusted_logzerr(0.3, [1e-4], 20) == 30.0       # 100x cap
+    assert adjusted_logzerr(0.3, [1.5], 8) == 0.3          # never deflates
