@@ -22,6 +22,14 @@ def main(args):
     from nnest_tpu.likelihoods import (
         Himmelblau, Rosenbrock, Gaussian, Eggbox, GaussianShell, GaussianMix)
 
+    # Normalize optional flags once: programmatic callers (tests,
+    # notebooks) may pass a partial Namespace; the argparse path always
+    # sets these, so a parser-wiring regression still fails loudly.
+    for k, v in {'mcmc_gen_batch': 8, 'mcmc_speculate': False,
+                 'rejection_gen_batch': 8, 'slice_adapt': 'cov'}.items():
+        if not hasattr(args, k):
+            setattr(args, k, v)
+
     if args.base_dist == 'gen_normal':
         base_dist = GeneralisedNormal(dim=args.x_dim, beta=args.beta)
     else:
