@@ -344,8 +344,14 @@ def metropolis_mix_null(steps, dim):
     measured/expected is ~1 on whitened unimodal problems at any dim
     and collapses on curved degeneracies the flow cannot whiten — the
     regime where sqrt(h/N) under-covers.
+
+    The null never drops below its value at the DEFAULT budget (5*dim
+    steps, the calibration design point): a deliberately starved kernel
+    (mcmc_steps=2) would otherwise look "healthy for its budget" while
+    its evidence is biased ~1 nat (the measured crippled-run regime) —
+    too few steps must lower R and fire the flag, not relax the bar.
     """
-    return min(1.0, 1.4 * steps / float(dim) ** 2)
+    return min(1.0, 1.4 * max(steps, 5 * dim) / float(dim) ** 2)
 
 
 def slice_mix_null(steps, dim):
@@ -358,8 +364,11 @@ def slice_mix_null(steps, dim):
     controls at default steps=2d (10-D: 0.48, 30-D: 0.27 measured;
     0.52 / 0.29 predicted), validated out-of-sample on the 20-D
     Rosenbrock slice A/B at 100 and 400 steps (BENCHMARKS.md round 4).
+    As with the Metropolis null, the default budget (2*dim moves) is a
+    floor: starving the kernel lowers R, it does not relax the bar.
     """
-    return min(1.0, 1.0 - float(np.exp(-1.3 * steps / float(dim) ** 1.6)))
+    return min(1.0, 1.0 - float(
+        np.exp(-1.3 * max(steps, 2 * dim) / float(dim) ** 1.6)))
 
 
 def adjusted_logzerr(logzerr, mix_rels, x_dim):
