@@ -38,7 +38,7 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
                train_iters, retrain_nll_threshold, mcmc_steps=0,
                mcmc_num_chains=None, gauss_lim=3.0, hidden_dim=16,
                num_blocks=3, strategy=None, slice_steps=0,
-               mcmc_speculate=False, slice_adapt='cov'):
+               mcmc_speculate=False, slice_adapt='cov', max_iters=0):
     import numpy as np
     from nnest_tpu import NestedSampler
     from nnest_tpu.likelihoods import (
@@ -91,6 +91,11 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
         kw['mcmc_speculate'] = True
     if slice_adapt != 'cov':
         kw['slice_adapt'] = slice_adapt
+    if max_iters:
+        # truncated runs: logz is NOT converged — for diagnostic-only
+        # sweeps (e.g. measuring the mixing ratio of a deliberately
+        # crippled kernel without paying its full dispatch-bound wall)
+        kw['max_iters'] = int(max_iters)
     s.run(train_iters=train_iters, dlogz=dlogz, **kw)
     wall = time.time() - t0
     phases = {k: round(v['total_s'], 2)
@@ -157,6 +162,9 @@ def main():
     ap.add_argument('--hidden_dim', type=int, default=16)
     ap.add_argument('--num_blocks', type=int, default=3)
     ap.add_argument('--log_root', default='/tmp/nnest_e2e')
+    ap.add_argument('--max_iters', type=int, default=0,
+                    help='truncate each run (diagnostic-only sweeps; '
+                         'logz will not be converged)')
     ap.add_argument('--cpu', action='store_true',
                     help='force the virtual-CPU platform (8 devices)')
     args = ap.parse_args()
@@ -186,7 +194,8 @@ def main():
                 strategy=[m for m in args.strategy.split(',') if m],
                 slice_steps=args.slice_steps,
                 mcmc_speculate=args.mcmc_speculate,
-                slice_adapt=args.slice_adapt))
+                slice_adapt=args.slice_adapt,
+                max_iters=args.max_iters))
         logzs = np.asarray([r['logz'] for r in recs])
         errs = np.asarray([r['logzerr'] for r in recs])
         truth = recs[0]['truth']
