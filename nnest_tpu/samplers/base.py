@@ -627,16 +627,18 @@ class Sampler:
         if mix is not None:
             mix = float(mix)
             self._mix_ratios.append(mix)
-        mix_eig = out.get('mix_ratio_eig')
-        if mix_eig is not None:
-            mix_eig = float(mix_eig)
+        # Eigenbasis mixing + latent condition number: the kernel emits
+        # only the two d x d second-moment matrices (an in-program eigh
+        # measured ~70 ms/generation on v5e); the f64 eigh runs here.
+        mix_eig = latent_cond = None
+        if out.get('mix_cov') is not None:
+            from nnest_tpu.utils.evaluation import eig_mix_from_moments
+            mix_eig, latent_cond = eig_mix_from_moments(
+                out['mix_cov'], out['mix_msd'])
             self._mix_ratios_eig.append(mix_eig)
+            self._latent_conds.append(latent_cond)
             if mix_null is not None:
                 self._mix_rels.append(mix_eig / max(mix_null, 1e-6))
-        latent_cond = out.get('latent_cond')
-        if latent_cond is not None:
-            latent_cond = float(latent_cond)
-            self._latent_conds.append(latent_cond)
         self._last_kernel_stats = {
             'ess': np.asarray(out['ess'], dtype=np.float64),
             'acceptance': float(out['acceptance']),

@@ -110,50 +110,45 @@ def mix_ratio_device(z_end, z0):
     return jnp.min(jnp.mean(dz * dz, axis=0) / ref)
 
 
-def mix_ratio_eig_device(z_end, z0):
-    """Start-decorrelation along the start population's EIGENdirections.
+def mix_moments_device(z_end, z0):
+    """Second-moment matrices for the eigenbasis mixing diagnostic.
 
-    Same MSD-over-2-variance statistic as :func:`mix_ratio_device`, but
-    measured in the eigenbasis of the starts' latent covariance and
-    normalized per-direction by that direction's eigenvalue. Rationale
-    (measured, BENCHMARKS.md round 4): the coordinate-basis min falls
-    with dimension even for perfectly calibrated isotropic runs (30-D
-    Gaussian: 0.31 with logZ scatter matching sqrt(h/N) exactly), so it
-    cannot separate "slow everywhere because d is large" from the
-    dangerous regime — a structurally slow PRINCIPAL direction (the
-    20-D Rosenbrock ridge, not axis-aligned, where seed scatter is
-    ~6.7x sqrt(h/N)). Projecting onto eigendirections isolates the
-    ridge: for isotropic sets the eigenbasis is a random rotation and
-    the statistic matches the coordinate one; for a curved degeneracy
-    the top-eigenvalue direction IS the ridge and its ratio collapses.
+    Returns ``(cov, msd)``: the start population's latent covariance
+    C = E[(z0-mu)(z0-mu)^T] and the displacement second moment
+    M = E[dz dz^T]. The eigen-analysis itself
+    (``utils.evaluation.eig_mix_from_moments``) runs on HOST in f64:
+    mix_ratio_eig = min_i (v_i^T M v_i) / (2 lambda_i) over eigenpairs
+    of C, and latent_cond = lambda_max/lambda_min. An in-program
+    jnp.linalg.eigh was measured at ~70 ms per pool generation on v5e
+    (tiny iterative QR is scalar-unit-bound), adding ~4 s to a warm
+    10-D run; the two d x d matmuls here are MXU-trivial and the
+    matrices are a KB-scale transfer.
 
-    Diagnostic-only output: never feeds accept decisions or the key
-    stream, so adding it is bit-neutral for evidence. HIGHEST-precision
+    Rationale for the eigenbasis statistic (measured, BENCHMARKS.md
+    round 4): the coordinate-basis min falls with dimension even for
+    perfectly calibrated isotropic runs (30-D Gaussian: 0.31 with logZ
+    scatter matching sqrt(h/N) exactly), so it cannot separate "slow
+    everywhere because d is large" from the dangerous regime — a
+    structurally slow PRINCIPAL direction (the 20-D Rosenbrock ridge,
+    not axis-aligned, seed scatter ~6.7x sqrt(h/N)). For isotropic sets
+    the eigenbasis is a random rotation and the statistic matches the
+    coordinate one; on a curved degeneracy the top-eigenvalue direction
+    IS the ridge and its ratio collapses. latent_cond stays at the
+    Marchenko-Pastur noise floor when the flow whitens the problem and
+    is large at EVERY step count on the ridge — matching the measured
+    step-count-INDEPENDENT excess scatter.
+
+    Diagnostic-only outputs: never feed accept decisions or the key
+    stream, so they are bit-neutral for evidence. HIGHEST-precision
     matmuls because the result calibrates the reported error bar (TPU
-    MXU would bf16-truncate the projections).
+    MXU would bf16-truncate the moments).
     """
-    n = z0.shape[0]
+    n = np.float32(z0.shape[0])
     zc = z0 - jnp.mean(z0, axis=0, keepdims=True)
-    cov = jnp.matmul(zc.T, zc,
-                     precision=jax.lax.Precision.HIGHEST) / np.float32(n)
-    dim = cov.shape[0]
-    eps = 1e-6 * (jnp.trace(cov) / dim + 1e-12)
-    cov = cov + eps * jnp.eye(dim, dtype=cov.dtype)
-    w, v = jnp.linalg.eigh(cov)
+    cov = jnp.matmul(zc.T, zc, precision=jax.lax.Precision.HIGHEST) / n
     dz = z_end - z0
-    proj = jnp.matmul(dz, v, precision=jax.lax.Precision.HIGHEST)
-    ratio = jnp.mean(proj * proj, axis=0) / (2.0 * w + 1e-12)
-    # Latent condition number of the start population: lambda_max /
-    # lambda_min. The flow whitens globally, so for problems it can fit
-    # this stays at the sample-covariance noise floor (Marchenko-
-    # Pastur, ~(1+sqrt(d/n))^2/(1-sqrt(d/n))^2); a curved degeneracy it
-    # cannot whiten (20-D Rosenbrock ridge) keeps it large at EVERY
-    # step count — matching the measured step-count-INDEPENDENT excess
-    # logZ scatter that no within-generation mixing statistic can see
-    # (banana@1000 steps: coordinate mix ratio 0.6-0.7, scatter still
-    # ~7x sqrt(h/N); BENCHMARKS.md round 4).
-    cond = w[-1] / jnp.maximum(w[0], 1e-30)
-    return jnp.min(ratio), cond
+    msd = jnp.matmul(dz.T, dz, precision=jax.lax.Precision.HIGHEST) / n
+    return cov, msd
 
 
 class LatentKernels:
@@ -441,7 +436,7 @@ class LatentKernels:
                 stat_mu = jnp.mean(chains, axis=(0, 1))
                 stat_var = jnp.var(chains, axis=(0, 1))
             ess = ess_device(chains, stat_mu, stat_var)
-            mix_eig, latent_cond = mix_ratio_eig_device(carry[0], z0)
+            mix_cov, mix_msd = mix_moments_device(carry[0], z0)
             return dict(common, **{
                 'final_x': carry[1],
                 'final_z': carry[0],
@@ -450,8 +445,8 @@ class LatentKernels:
                 'moved': moved,
                 'mean_jump': jnp.sum(jumps) / jnp.maximum(total_acc, 1),
                 'mix_ratio': mix_ratio_device(carry[0], z0),
-                'mix_ratio_eig': mix_eig,
-                'latent_cond': latent_cond,
+                'mix_cov': mix_cov,
+                'mix_msd': mix_msd,
                 'diag_chains': chains[:_N_DIAG],
                 'ess': ess,
                 'acceptance': total_acc / jnp.float32(
@@ -972,7 +967,7 @@ class LatentKernels:
             stat_mu = jnp.mean(chains, axis=(0, 1))
             stat_var = jnp.var(chains, axis=(0, 1))
         ess = ess_device(chains, stat_mu, stat_var)
-        mix_eig, latent_cond = mix_ratio_eig_device(carry[0], z0)
+        mix_cov, mix_msd = mix_moments_device(carry[0], z0)
         return {
             'scale': jnp.float32(width),
             'ncall': carry[5],
@@ -984,8 +979,8 @@ class LatentKernels:
             'moved': moved,
             'mean_jump': jnp.sum(jumps) / jnp.maximum(total_acc, 1),
             'mix_ratio': mix_ratio_device(carry[0], z0),
-            'mix_ratio_eig': mix_eig,
-            'latent_cond': latent_cond,
+            'mix_cov': mix_cov,
+            'mix_msd': mix_msd,
             'diag_chains': chains[:_N_DIAG],
             'ess': ess,
             'acceptance': total_acc / jnp.float32(

@@ -1148,7 +1148,7 @@ class NestedSampler(Sampler):
         self.mixing_min_ratio = (
             float(np.median(self._mix_ratios)) if self._mix_ratios
             else None)
-        # Eigenbasis variant (kernels.mix_ratio_eig_device): min over the
+        # Eigenbasis variant (kernels.mix_moments_device + host eigh): min over the
         # start population's covariance eigendirections, each normalized
         # by its own eigenvalue. Unlike the coordinate min, this is not
         # confounded by dimension (measured: healthy 30-D Gaussian has

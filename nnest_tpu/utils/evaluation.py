@@ -385,3 +385,20 @@ def adjusted_logzerr(logzerr, mix_rels, x_dim):
         return float(logzerr)
     r = float(np.median(mix_rels))
     return float(logzerr) * min(100.0, max(1.0, r ** -2))
+
+
+def eig_mix_from_moments(cov, msd):
+    """Eigenbasis mixing ratio + latent condition number from the kernel's
+    second-moment outputs (``kernels.mix_moments_device``), in float64 on
+    host: eigh of the start covariance C, then
+    r_eig = min_i (v_i^T M v_i) / (2 lambda_i) and
+    cond = lambda_max / lambda_min. Returns ``(r_eig, cond)``."""
+    c = np.asarray(cov, dtype=np.float64)
+    m = np.asarray(msd, dtype=np.float64)
+    dim = c.shape[0]
+    eps = 1e-6 * (np.trace(c) / dim + 1e-12)
+    c = c + eps * np.eye(dim)
+    w, v = np.linalg.eigh(c)
+    ratio = np.einsum('ij,jk,ki->i', v.T, m, v) / (2.0 * w + 1e-12)
+    cond = float(w[-1] / max(w[0], 1e-30))
+    return float(np.min(ratio)), cond

@@ -180,15 +180,17 @@ def test_nested_run_reports_uniform_insertion(tmp_path):
 
 
 def test_mix_ratio_eig_isolates_rotated_ridge():
-    """Eigenbasis start-decorrelation (kernels.mix_ratio_eig_device):
-    a frozen slow mode that is NOT axis-aligned must collapse the
-    eigenbasis minimum while the coordinate-basis minimum blends it
-    with the fast directions (the 30-D-Gaussian-vs-20-D-banana
-    confound measured in BENCHMARKS.md round 4). Also pins the latent
-    condition-number output against the known anisotropy."""
+    """Eigenbasis start-decorrelation (kernels.mix_moments_device device
+    moments + evaluation.eig_mix_from_moments host eigh): a frozen slow
+    mode that is NOT axis-aligned must collapse the eigenbasis minimum
+    while the coordinate-basis minimum blends it with the fast
+    directions (the 30-D-Gaussian-vs-20-D-banana confound measured in
+    BENCHMARKS.md round 4). Also pins the latent condition-number
+    output against the known anisotropy."""
     import jax.numpy as jnp
-    from nnest_tpu.samplers.kernels import (mix_ratio_device,
-                                            mix_ratio_eig_device)
+    from nnest_tpu.samplers.kernels import (mix_moments_device,
+                                            mix_ratio_device)
+    from nnest_tpu.utils.evaluation import eig_mix_from_moments
     rng = np.random.RandomState(0)
     d, n = 6, 4096
     scales = np.ones(d)
@@ -200,15 +202,20 @@ def test_mix_ratio_eig_isolates_rotated_ridge():
     ridge = np.outer(q[:, 0], q[:, 0])
     z_end = z0 @ ridge.T + draw() @ (np.eye(d) - ridge).T
     f32 = lambda a: jnp.asarray(a, jnp.float32)
+
+    def eig_stats(ze):
+        cov, msd = mix_moments_device(f32(ze), f32(z0))
+        return eig_mix_from_moments(np.asarray(cov), np.asarray(msd))
+
     r_coord = float(mix_ratio_device(f32(z_end), f32(z0)))
-    r_eig, cond = map(float, mix_ratio_eig_device(f32(z_end), f32(z0)))
+    r_eig, cond = eig_stats(z_end)
     # eigenbasis sees the frozen ridge (~0); coordinates blend it with
     # the d-1 mixed directions and report a much larger minimum
     assert r_eig < 0.02
     assert r_coord > 5 * max(r_eig, 1e-6)
     assert abs(cond - 144.0) / 144.0 < 0.2   # lambda_max/min = 12^2
     # healthy endpoints: both statistics ~1, condition number unchanged
-    r_eig_h, cond_h = map(float, mix_ratio_eig_device(f32(draw()), f32(z0)))
+    r_eig_h, cond_h = eig_stats(draw())
     assert 0.8 < r_eig_h < 1.25
     assert abs(cond_h - 144.0) / 144.0 < 0.2
 
