@@ -1201,6 +1201,23 @@ class NestedSampler(Sampler):
             float(np.median(self._mix_rels)) if self._mix_rels else None)
         self.logzerr_adjusted = adjusted_logzerr(
             self.logzerr, self._mix_rels, self.x_dim)
+        # One-glance run verdict: the union of every single-run warning
+        # (each also logged individually below). Empty = no diagnostic
+        # fired; measured blind spots remain (rare multi-nat ridge
+        # misses can pass all three — BENCHMARKS.md round 4; run
+        # multiple seeds and analyse.py's error decomposition for
+        # those), so 'ok' means "no evidence of failure", not proof.
+        self.run_quality_flags = []
+        if (self.mixing_rel_ratio is not None and self.x_dim >= 8
+                and self.mixing_rel_ratio < 0.7):
+            self.run_quality_flags.append('under_mixed')
+        if (self.insertion_p_value < 0.01
+                or self.insertion_rolling_p_value < 0.01):
+            self.run_quality_flags.append('nonuniform_insertion')
+        if self.logzerr_bootstrap is not None:
+            rb = self.logzerr_bootstrap / max(self.logzerr, 1e-12)
+            if rb > 2.0 or rb < 0.5:
+                self.run_quality_flags.append('bootstrap_mismatch')
 
         if self.single_or_primary_process and self.logs is not None:
             np.save(os.path.join(self.logs['results'],
@@ -1236,6 +1253,7 @@ class NestedSampler(Sampler):
                     'latent_cond_median': self.latent_cond_median,
                     'n_mix_windows': len(self._mix_ratios),
                     'logzerr_adjusted': self.logzerr_adjusted,
+                    'quality_flags': self.run_quality_flags,
                 }, f)
             with open(os.path.join(self.logs['results'], 'final.csv'),
                       'w') as f:
@@ -1291,6 +1309,14 @@ class NestedSampler(Sampler):
                         'BENCHMARKS.md round 4; quoted logzerr keeps '
                         'the sqrt(h/N) convention)'
                         % self.logzerr_adjusted)
+            self.logger.info(
+                'Run quality: %s' % (
+                    'ok (no single-run diagnostic fired)'
+                    if not self.run_quality_flags
+                    else 'SUSPECT [%s] — see the warnings above; '
+                         'prefer logzerr_adjusted and validate with a '
+                         'seed sweep (analyse.py error decomposition)'
+                         % ', '.join(self.run_quality_flags)))
             phases = self.timers.summary()
             if phases:
                 d = {k: round(v['total_s'], 2) for k, v in phases.items()}

@@ -113,6 +113,14 @@ def test_mixing_ratio_flags_crippled_run(tmp_path):
         expected = (s.logzerr if s.x_dim < 8 else s.logzerr * min(
             100.0, max(1.0, s.mixing_rel_ratio ** -2)))
         assert abs(s.logzerr_adjusted - expected) < 1e-12
+        # the one-glance verdict is recorded (the under_mixed flag is
+        # gated to the calibration domain like the bar, so it must NOT
+        # fire at 2-D even on the crippled run)
+        assert isinstance(s.run_quality_flags, list)
+        assert 'under_mixed' not in s.run_quality_flags
+        with open(os.path.join(s.log_dir, 'results',
+                               'diagnostics.json')) as f:
+            assert json.load(f)['quality_flags'] == s.run_quality_flags
     assert runs['crippled'] < runs['healthy']
     assert runs['crippled'] < 0.7       # the WARNING threshold fires
 
