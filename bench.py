@@ -41,6 +41,7 @@ scan step). The reported value is the geometric mean of the five speedups.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -227,4 +228,34 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    # The remote-TPU tunnel occasionally throws a transient
+    # FAILED_PRECONDITION on backend init / first dispatch (measured
+    # 2026-08-19: one cold invocation failed, the retry succeeded
+    # unchanged). The driver runs this script ONCE per round, so retry
+    # in-process rather than lose the round's bench artifact. Backend
+    # state can be poisoned after the error, so retries re-exec a fresh
+    # interpreter. stdout stays one JSON line (errors go to stderr).
+    import subprocess
+    import sys
+    if os.environ.get('NNEST_BENCH_NO_RETRY'):
+        main()
+    else:
+        last = None
+        for attempt in range(3):
+            if attempt == 0:
+                try:
+                    main()
+                    break
+                except Exception as e:   # noqa: BLE001
+                    last = e
+                    print('bench attempt 1 failed: %r; retrying in a '
+                          'fresh process' % e, file=sys.stderr)
+            else:
+                env = dict(os.environ, NNEST_BENCH_NO_RETRY='1')
+                r = subprocess.run([sys.executable, __file__], env=env)
+                if r.returncode == 0:
+                    break
+                print('bench attempt %d failed (rc=%d)'
+                      % (attempt + 1, r.returncode), file=sys.stderr)
+        else:
+            raise SystemExit('bench failed after 3 attempts: %r' % last)

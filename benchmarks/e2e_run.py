@@ -122,6 +122,7 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
         'mixing_rel_ratio': None
         if getattr(s, 'mixing_rel_ratio', None) is None
         else round(float(s.mixing_rel_ratio), 4),
+        'quality_flags': list(getattr(s, 'run_quality_flags', []) or []),
         'latent_cond_median': None
         if getattr(s, 'latent_cond_median', None) is None
         else round(float(s.latent_cond_median), 2),
