@@ -71,6 +71,7 @@ def main(args):
             logzs, dlogzs, nlikes, ess, ins_ps = [], [], [], [], []
             boots, thread_files, chain_files = [], [], []
             mix_rs = []
+            flagged_runs = []   # (run dir, quality_flags) per flagged run
             for log_dir, params in runs:
                 fpath = os.path.join(log_dir, 'results', 'final.csv')
                 cpath = os.path.join(log_dir, 'chains', 'chain.txt')
@@ -96,6 +97,12 @@ def main(args):
                         if diag.get(mkey) is not None:
                             mix_rs.append(float(diag[mkey]))
                             ins += ' mixing_R=%.2f' % diag[mkey]
+                        if diag.get('quality_flags'):
+                            flagged_runs.append(
+                                (os.path.basename(log_dir),
+                                 diag['quality_flags']))
+                            ins += ' FLAGS=%s' % ','.join(
+                                diag['quality_flags'])
                     if os.path.exists(rpath):
                         from nnest_tpu.utils.evaluation import insertion_ks
                         ranks = np.load(rpath)
@@ -154,6 +161,11 @@ def main(args):
                            '= %.1fx (see logzerr_adjusted)' % min(
                                100.0, 1.0 / max(r, 1e-4) ** 2)
                         if r < 0.7 else ''))
+                if flagged_runs:
+                    print('Quality flags: %d/%d runs flagged — %s' % (
+                        len(flagged_runs), len(logzs),
+                        '; '.join('%s: %s' % (name, ','.join(flags))
+                                  for name, flags in flagged_runs)))
                 if len(boots) > 1 and len(boots) == len(logzs):
                     # nestcheck-style implementation-error decomposition
                     # (arXiv:1804.06406 sec 5): the run-to-run logZ
