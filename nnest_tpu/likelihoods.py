@@ -125,12 +125,30 @@ class Gaussian(Likelihood):
         return [-self.lim] * self.x_dim, [self.lim] * self.x_dim
 
     def analytic_logz(self, prior_lo, prior_hi):
-        """logZ for a uniform prior box (useful for evidence tests): the MVN
-        integrates to ~1 over R^d, so logZ ≈ -log(prior volume) when the box
-        contains essentially all the mass."""
-        vol = np.prod(np.asarray(prior_hi, dtype=np.float64)
-                      - np.asarray(prior_lo, dtype=np.float64))
-        return -math.log(vol)
+        """Exact logZ for a uniform prior box: log(MVN mass inside the box)
+        minus log(box volume). For ``corr == 0`` the mass factorizes into a
+        product of 1-D erf terms; for ``corr != 0`` scipy's MVN rectangle
+        probability (Genz quasi-Monte-Carlo, abs err ~1e-8) is used. This is
+        the single truth source for every Gaussian evidence check (the
+        earlier ``-log(vol)`` form ignored box truncation, a ~0.2% bias at
+        lim = 3 sigma)."""
+        lo = np.asarray(prior_lo, dtype=np.float64)
+        hi = np.asarray(prior_hi, dtype=np.float64)
+        vol = float(np.prod(hi - lo))
+        if self.corr == 0.0:
+            from scipy.special import erf
+            sqrt2 = math.sqrt(2.0)
+            log_mass = float(np.sum(np.log(
+                0.5 * (erf(hi / sqrt2) - erf(lo / sqrt2)))))
+        else:
+            from scipy.stats import multivariate_normal
+            cov = (np.eye(self.x_dim)
+                   + self.corr * (1.0 - np.eye(self.x_dim)))
+            mass = float(multivariate_normal(
+                mean=np.zeros(self.x_dim), cov=cov,
+                allow_singular=False).cdf(hi, lower_limit=lo))
+            log_mass = math.log(mass)
+        return log_mass - math.log(vol)
 
 
 class Eggbox(Likelihood):
