@@ -38,7 +38,8 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
                train_iters, retrain_nll_threshold, mcmc_steps=0,
                mcmc_num_chains=None, gauss_lim=3.0, hidden_dim=16,
                num_blocks=3, strategy=None, slice_steps=0,
-               mcmc_speculate=False, slice_adapt='cov', max_iters=0):
+               mcmc_speculate=False, slice_adapt='cov', mcmc_adapt='cov',
+               max_iters=0):
     import numpy as np
     from nnest_tpu import NestedSampler
     from nnest_tpu.likelihoods import (
@@ -91,6 +92,8 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
         kw['mcmc_speculate'] = True
     if slice_adapt != 'cov':
         kw['slice_adapt'] = slice_adapt
+    if mcmc_adapt != 'cov':
+        kw['mcmc_adapt'] = mcmc_adapt
     if max_iters:
         # truncated runs: logz is NOT converged — for diagnostic-only
         # sweeps (e.g. measuring the mixing ratio of a deliberately
@@ -158,6 +161,10 @@ def main():
                          'boundaries (bit-identical results)')
     ap.add_argument('--slice_adapt', choices=('cov', 'iso'),
                     default='cov')
+    ap.add_argument('--mcmc_adapt', choices=('cov', 'iso'),
+                    default='cov',
+                    help="Metropolis proposal law ('iso' = the round-4 "
+                         "reference-style isotropic stream)")
     ap.add_argument('--gauss_lim', type=float, default=3.0,
                     help='half-width (in sigma) of the Gaussian box prior')
     ap.add_argument('--hidden_dim', type=int, default=16)
@@ -196,6 +203,7 @@ def main():
                 slice_steps=args.slice_steps,
                 mcmc_speculate=args.mcmc_speculate,
                 slice_adapt=args.slice_adapt,
+                mcmc_adapt=args.mcmc_adapt,
                 max_iters=args.max_iters))
         logzs = np.asarray([r['logz'] for r in recs])
         errs = np.asarray([r['logzerr'] for r in recs])

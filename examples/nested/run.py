@@ -26,7 +26,8 @@ def main(args):
     # notebooks) may pass a partial Namespace; the argparse path always
     # sets these, so a parser-wiring regression still fails loudly.
     for k, v in {'mcmc_gen_batch': 8, 'mcmc_speculate': False,
-                 'rejection_gen_batch': 8, 'slice_adapt': 'cov'}.items():
+                 'rejection_gen_batch': 8, 'slice_adapt': 'cov',
+                 'mcmc_adapt': 'cov'}.items():
         if not hasattr(args, k):
             setattr(args, k, v)
 
@@ -81,6 +82,7 @@ def main(args):
                 mcmc_gen_batch=args.mcmc_gen_batch,
                 mcmc_speculate=args.mcmc_speculate,
                 slice_adapt=args.slice_adapt,
+                mcmc_adapt=args.mcmc_adapt,
                 rejection_gen_batch=args.rejection_gen_batch)
     print('Run time %s' % datetime.timedelta(seconds=time.time() - start))
     print('logz %.3f +/- %.3f (ncall %d)' % (
@@ -125,6 +127,11 @@ if __name__ == '__main__':
                         default='cov',
                         help='slice direction law: live-set latent '
                              'covariance (default) or isotropic')
+    parser.add_argument('--mcmc_adapt', choices=('cov', 'iso'),
+                        default='cov',
+                        help='Metropolis proposal law: covariance-'
+                             'preconditioned dz ~ N(0, scale^2 C_live) '
+                             '(default) or the reference isotropic')
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--resume', action='store_true',
                         help='fixed run dir + bit-exact resume from its '

@@ -570,14 +570,18 @@ class Sampler:
                            loglstar=None,
                            max_start_tries=100,
                            prior_volume_steps=1,
-                           stat_moments=None):
+                           stat_moments=None,
+                           cov_from=None):
         """Endpoint-only Metropolis: same trajectory as ``_mcmc_sample`` but
         transfers only each chain's final state + a moved flag — the part
         nested sampling consumes (reference ``nested.py:429-439``). Keeps
         the per-call device→host payload tiny (vital over a remote-TPU
         link). Chain statistics (ESS over ALL chains, window acceptance,
         mean jump — reference ``sampler.py:474-492``) are computed on device
-        and exposed via ``self._last_kernel_stats``.
+        and exposed via ``self._last_kernel_stats``. ``cov_from`` (the f32
+        live set) enables the covariance-preconditioned proposal, computed
+        IN the kernel so the mesh route matches the fused route
+        bit-for-bit.
 
         Returns (u, logl, derived, moved, scale, mean_jump, ncall)."""
         with self.timers.time('mcmc_init'):
@@ -593,7 +597,8 @@ class Sampler:
                 mcmc_steps=mcmc_steps,
                 dynamic_step_size=dynamic_step_size,
                 prior_volume_steps=prior_volume_steps,
-                collect_chains=False, stat_moments=stat_moments)
+                collect_chains=False, stat_moments=stat_moments,
+                cov_from=cov_from)
             jax.block_until_ready(out['final_x'])
 
         out = self._fetch_all(out)
@@ -664,7 +669,8 @@ class Sampler:
                           loglstar,
                           step_size,
                           dynamic_step_size=False,
-                          prior_volume_steps=1):
+                          prior_volume_steps=1,
+                          adapt_cov=False):
         """Fused single-dispatch variant of ``_mcmc_sample_final`` for the
         nested sampler's pool generations: chain-start selection from the
         live set + numerical re-projection + the chain scan are one device
@@ -685,7 +691,8 @@ class Sampler:
                 num_chains=num_chains, loglstar=loglstar,
                 step_size=step_size, mcmc_steps=mcmc_steps,
                 dynamic_step_size=dynamic_step_size,
-                prior_volume_steps=prior_volume_steps)
+                prior_volume_steps=prior_volume_steps,
+                adapt_cov=adapt_cov)
             out = self._fetch_all(out)
         from nnest_tpu.utils.evaluation import metropolis_mix_null
         return self._consume_endpoint_out(
@@ -703,7 +710,8 @@ class Sampler:
                                 max_iters,
                                 max_gens,
                                 dynamic_step_size=False,
-                                speculate=False):
+                                speculate=False,
+                                adapt_cov=False):
         """Prefetch up to ``max_gens`` MCMC pool generations in one
         dispatch + ONE batched pull (``LatentKernels.mcmc_pool_generations``
         — on-device pool consumption evolves the live set between
@@ -728,7 +736,7 @@ class Sampler:
                 active_derived, it, step_size, update_interval, max_iters,
                 num_chains=num_chains, mcmc_steps=mcmc_steps,
                 max_gens=max_gens, dynamic_step_size=dynamic_step_size,
-                speculate=speculate)
+                speculate=speculate, adapt_cov=adapt_cov)
             self._key = key_out
             bufs, meta, n_gens = self._fetch_all((bufs, meta, n_gens))
         return self._gens_to_buffer(bufs, meta, n_gens)

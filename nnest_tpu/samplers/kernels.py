@@ -194,12 +194,13 @@ class LatentKernels:
                                   static_argnames=(
                                       'num_chains', 'mcmc_steps',
                                       'dynamic_step_size',
-                                      'prior_volume_steps'))
+                                      'prior_volume_steps', 'adapt_cov'))
         self._mcmc_gens = jax.jit(self._mcmc_pool_generations_impl,
                                   static_argnames=(
                                       'num_chains', 'mcmc_steps',
                                       'max_gens', 'dynamic_step_size',
-                                      'prior_volume_steps', 'speculate'))
+                                      'prior_volume_steps', 'speculate',
+                                      'adapt_cov'))
         self._slice = jax.jit(self._slice_impl, static_argnames=(
             'slice_steps', 'max_expand', 'max_shrink', 'own_moments'))
         self._slice_live = jax.jit(self._slice_from_live_impl,
@@ -257,7 +258,7 @@ class LatentKernels:
     def mcmc(self, params, key, init_z, init_logl, init_derived,
              init_logl_prior, *, loglstar=None, step_size, mcmc_steps,
              dynamic_step_size=False, prior_volume_steps=1,
-             collect_chains=True, stat_moments=None):
+             collect_chains=True, stat_moments=None, cov_from=None):
         """Vectorized multi-chain latent Metropolis.
 
         Two modes as in the reference: hard-likelihood-constraint (nested
@@ -283,6 +284,22 @@ class LatentKernels:
         to normalize the ESS autocorrelation — nested sampling passes
         live-point moments (reference ``sampler.py:481-483``); default is
         the chains' own moments.
+
+        ``cov_from``: optional (n_live, dim) f32 live set enabling the
+        covariance-PRECONDITIONED proposal dz ~ N(0, scale^2 * C_live)
+        with C_live the live set's latent covariance
+        (``_latent_cov_chol`` — the Metropolis analogue of
+        ``slice_adapt='cov'``). Subsumes the reference's isotropic
+        proposal (``sampler.py:307-316``): C -> I recovers it exactly.
+        Exactness: the proposal stays Gaussian and symmetric for any
+        FIXED covariance (q(z'|z) = q(z|z')), and C is a function of the
+        live set only — never of the chain state — so the accept rule
+        and the kernel's invariant distribution are untouched. On curved
+        degeneracies the globally-whitening flow leaves the within-shell
+        latent cloud anisotropic (20-D Rosenbrock: the non-axis-aligned
+        ridge direction never decorrelated under isotropic proposals at
+        ANY step count, BENCHMARKS.md round 4); preconditioning gives
+        each proposal the live set's 1-sigma extent per eigendirection.
         """
         constrained = loglstar is not None
         ll_star = np.float32(loglstar if constrained else LOG_NEG)
@@ -298,6 +315,8 @@ class LatentKernels:
         return self._mcmc(params, key, init_z, init_logl, init_derived,
                           init_logl_prior, ll_star,
                           np.float32(step_size), mu, var,
+                          None if cov_from is None
+                          else np.asarray(cov_from, np.float32),
                           mcmc_steps=mcmc_steps,
                           constrained=constrained,
                           dynamic_step_size=dynamic_step_size,
@@ -306,9 +325,10 @@ class LatentKernels:
                           own_moments=own_moments)
 
     def _mcmc_impl(self, params, key, z0, logl0, derived0, logl_prior0,
-                   loglstar, step_size, stat_mu, stat_var, *, mcmc_steps,
-                   constrained, dynamic_step_size, prior_volume_steps,
-                   collect_chains=True, own_moments=True):
+                   loglstar, step_size, stat_mu, stat_var, cov_from=None,
+                   *, mcmc_steps, constrained, dynamic_step_size,
+                   prior_volume_steps, collect_chains=True,
+                   own_moments=True):
         like_fn, prior_fn = self.like_fn, self.prior_fn
         num_chains = z0.shape[0]
         logl0 = sanitize_log_density(logl0)
@@ -317,10 +337,23 @@ class LatentKernels:
         # the scan: inverse() below closes over packed constants.
         inverse = self._hot_inverse(params)
         x0, ldj0 = inverse(z0)
+        # Covariance preconditioning (fixed per kernel invocation — a
+        # function of the live set only, so the Gaussian proposal stays
+        # symmetric and the invariant distribution untouched).
+        cov_chol = (None if cov_from is None
+                    else self._latent_cov_chol(params, cov_from))
 
         def propose(z, scale, k):
             kdz, kfast = jax.random.split(k)
-            dz = jax.random.normal(kdz, z.shape) * scale
+            dz = jax.random.normal(kdz, z.shape)
+            if cov_chol is not None:
+                # Exact matmul: proposal values feed the accepted chain
+                # state, and TPU matmuls bf16-truncate f32 inputs on the
+                # MXU by default — HIGHEST keeps fused/unfused/mesh
+                # routes bit-identical.
+                dz = jnp.matmul(dz, cov_chol.T,
+                                precision=jax.lax.Precision.HIGHEST)
+            dz = dz * scale
             fast = jnp.logical_and(
                 self.num_slow > 0,
                 jax.random.uniform(kfast) < self.oversample_rate)
@@ -476,7 +509,8 @@ class LatentKernels:
     def mcmc_from_live(self, params, key_idx, key_chain, active_u,
                        active_logl, active_derived, *, num_chains,
                        loglstar, step_size, mcmc_steps,
-                       dynamic_step_size=False, prior_volume_steps=1):
+                       dynamic_step_size=False, prior_volume_steps=1,
+                       adapt_cov=False):
         """Constrained endpoint-only Metropolis launched FROM the live set
         in one dispatch: chain-start index draw, gather-free live-point
         selection, forward/inverse numerical re-projection
@@ -487,7 +521,9 @@ class LatentKernels:
         as the unfused path, and one-hot selection of f32 rows is exact,
         so the chain trajectories are bit-identical to the unfused path —
         the mesh-sharded route still uses that path, and mesh vs no-mesh
-        evidence equality holds.
+        evidence equality holds. ``adapt_cov`` enables the covariance-
+        preconditioned proposal (see ``mcmc``), with the covariance
+        computed from the SAME live set the chains start from.
         """
         return self._mcmc_live(
             params, key_idx, key_chain,
@@ -497,7 +533,7 @@ class LatentKernels:
             np.float32(loglstar), np.float32(step_size),
             num_chains=num_chains, mcmc_steps=mcmc_steps,
             dynamic_step_size=dynamic_step_size,
-            prior_volume_steps=prior_volume_steps)
+            prior_volume_steps=prior_volume_steps, adapt_cov=adapt_cov)
 
     def _latent_cov_chol(self, params, live_u):
         """Cholesky factor of the live set's LATENT covariance.
@@ -571,13 +607,15 @@ class LatentKernels:
     def _mcmc_from_live_impl(self, params, key_idx, key_chain, active_u,
                              active_logl, active_derived, loglstar,
                              step_size, *, num_chains, mcmc_steps,
-                             dynamic_step_size, prior_volume_steps):
+                             dynamic_step_size, prior_volume_steps,
+                             adapt_cov=False):
         z0, logl0, derived0, lp_prior0, mu, var = self._live_starts(
             params, key_idx, active_u, active_logl, active_derived,
             num_chains)
         return self._mcmc_impl(
             params, key_chain, z0, logl0, derived0, lp_prior0, loglstar,
-            step_size, mu, var, mcmc_steps=mcmc_steps, constrained=True,
+            step_size, mu, var, active_u if adapt_cov else None,
+            mcmc_steps=mcmc_steps, constrained=True,
             dynamic_step_size=dynamic_step_size,
             prior_volume_steps=prior_volume_steps, collect_chains=False,
             own_moments=False)
@@ -622,7 +660,8 @@ class LatentKernels:
                               active_derived, it, step_size,
                               update_interval, max_iters, *, num_chains,
                               mcmc_steps, max_gens, dynamic_step_size=False,
-                              prior_volume_steps=1, speculate=False):
+                              prior_volume_steps=1, speculate=False,
+                              adapt_cov=False):
         """Run up to ``max_gens`` MCMC pool generations in ONE dispatch.
 
         The nested sampler's MCMC phase is dispatch-count bound on the
@@ -669,21 +708,26 @@ class LatentKernels:
             np.int32(update_interval), np.int32(max_iters),
             num_chains=num_chains, mcmc_steps=mcmc_steps,
             max_gens=max_gens, dynamic_step_size=dynamic_step_size,
-            prior_volume_steps=prior_volume_steps, speculate=speculate)
+            prior_volume_steps=prior_volume_steps, speculate=speculate,
+            adapt_cov=adapt_cov)
 
     def _mcmc_pool_generations_impl(self, params, key, active_u,
                                     active_logl, active_derived, it0,
                                     step_size, update_interval, max_iters,
                                     *, num_chains, mcmc_steps, max_gens,
                                     dynamic_step_size, prior_volume_steps,
-                                    speculate=False):
+                                    speculate=False, adapt_cov=False):
         del max_iters  # pure host-side terminator, see _pool_generations
         def core(key_idx, key_chain, au, al, ad, loglstar):
+            # With adapt_cov the proposal covariance is recomputed per
+            # generation from the EVOLVING device live set — exactly the
+            # live set the one-dispatch-per-generation route would pass.
             return self._mcmc_from_live_impl(
                 params, key_idx, key_chain, au, al, ad, loglstar,
                 step_size, num_chains=num_chains, mcmc_steps=mcmc_steps,
                 dynamic_step_size=dynamic_step_size,
-                prior_volume_steps=prior_volume_steps)
+                prior_volume_steps=prior_volume_steps,
+                adapt_cov=adapt_cov)
 
         return self._pool_generations(
             core, key, active_u, active_logl, active_derived, it0,

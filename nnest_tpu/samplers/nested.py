@@ -143,6 +143,7 @@ class NestedSampler(Sampler):
             retrain_nll_threshold=0.5,
             mcmc_gen_batch=8,
             mcmc_speculate=False,
+            mcmc_adapt='cov',
             rejection_gen_batch=8,
             slice_steps=0,
             slice_width=1.0,
@@ -207,6 +208,19 @@ class NestedSampler(Sampler):
             slice_steps = 2 * self.x_dim
         if slice_adapt not in ('cov', 'iso'):
             raise ValueError("slice_adapt must be 'cov' or 'iso'")
+        if mcmc_adapt not in ('cov', 'iso'):
+            raise ValueError("mcmc_adapt must be 'cov' or 'iso'")
+        # 'cov' (default): covariance-PRECONDITIONED Metropolis proposals
+        # dz ~ N(0, scale^2 * C_live) with C_live the live set's latent
+        # covariance — the Metropolis analogue of slice_adapt='cov',
+        # subsuming the reference's isotropic proposal
+        # (sampler.py:307-316; C -> I recovers it). Targets the round-4
+        # finding that the non-axis-aligned ridge direction of curved
+        # degeneracies never decorrelates under isotropic proposals at
+        # any step count (BENCHMARKS.md). 'iso' restores the round-4
+        # isotropic key-stream-compatible proposal (the preconditioning
+        # matmul consumes no extra keys, only the values differ).
+        mcmc_adapt_cov = mcmc_adapt == 'cov'
         # 'cov' (default): slice directions drawn from the live set's
         # latent covariance (d = L n_hat, PolyChord-style per-generation
         # whitening in z) — the fix for curved degeneracies where the
@@ -873,7 +887,8 @@ class NestedSampler(Sampler):
                                 active_d, mcmc_num_chains, step_size, it,
                                 update_interval, max_iters, mcmc_gen_batch,
                                 dynamic_step_size=mcmc_dynamic_step_size,
-                                speculate=mcmc_speculate)
+                                speculate=mcmc_speculate,
+                                adapt_cov=mcmc_adapt_cov)
                     if use_gen_batch and mcmc_gen_buffer:
                         out_g, g_loglstar, g_it, _ = mcmc_gen_buffer.pop(0)
                         if g_it != it or \
@@ -913,7 +928,8 @@ class NestedSampler(Sampler):
                             active_derived if self.num_derived > 0 else
                             np.empty((self.num_live_points, 0)),
                             mcmc_num_chains, loglstar, step_size,
-                            dynamic_step_size=mcmc_dynamic_step_size)
+                            dynamic_step_size=mcmc_dynamic_step_size,
+                            adapt_cov=mcmc_adapt_cov)
                     else:
                         # mesh route: explicit dp-sharded chain batches
                         idx = np.asarray(_randint(
@@ -949,7 +965,10 @@ class NestedSampler(Sampler):
                                 step_size=step_size,
                                 dynamic_step_size=mcmc_dynamic_step_size,
                                 stat_moments=(np.mean(active_u, axis=0),
-                                              np.var(active_u, axis=0)))
+                                              np.var(active_u, axis=0)),
+                                cov_from=(
+                                    active_u.astype(np.float32)
+                                    if mcmc_adapt_cov else None))
                     # Chain endpoints are the candidates (nested.py:429-439:
                     # accept iff the chain moved and logl > loglstar).
                     pool = {'u': u_f[moved], 'logl': logl_f[moved],

@@ -118,3 +118,79 @@ def test_dynamic_vs_static_10d(tmp_path):
     # artifact contract: merged chain + final.csv in the driver's run dir
     assert os.path.exists(os.path.join(d.logs['results'], 'final.csv'))
     assert os.path.exists(os.path.join(d.logs['chains'], 'chain.txt'))
+
+
+def _final(d):
+    return (d.logz, d.h, d.total_calls, d.niter)
+
+
+def _mk_dyn(tmp_path, tag, resume):
+    return DynamicNestedSampler(
+        2, Gaussian(2, 0.0, lim=3), transform=lambda x: 3 * x,
+        num_live_init=100, log_dir=str(tmp_path / tag),
+        append_run_num=False, resume=resume, seed=3)
+
+
+_DYN_KW = dict(G=0.5, num_live_batch=50, dlogz=0.3, train_iters=50,
+               mcmc_num_chains=16, log_interval=20)
+
+
+def test_dynamic_resume_between_batches(tmp_path):
+    """Stopping after batch k and resuming with more batches equals the
+    uninterrupted run EXACTLY: the dynamic_state.pkl bundle carries the
+    ingested parts, the batch-seed RNG state and the shared trainer, so
+    batch k+1 sees identical inputs either way (this is also the
+    dynesty-style 'add more batches later' workflow)."""
+    a = _mk_dyn(tmp_path, 'uninterrupted', resume=False)
+    a.run(num_batches=2, **_DYN_KW)
+
+    b = _mk_dyn(tmp_path, 'resumed', resume=True)
+    b.run(num_batches=1, **_DYN_KW)
+    b2 = _mk_dyn(tmp_path, 'resumed', resume=True)
+    b2.run(num_batches=2, **_DYN_KW)
+    assert _final(b2) == _final(a)
+    # merged diagnostics artifact
+    diag = os.path.join(b2.logs['results'], 'diagnostics.json')
+    assert os.path.exists(diag)
+    import json
+    rec = json.load(open(diag))
+    assert rec['sampler'] == 'dynamic'
+    assert len(rec['batches']) == 3
+    assert rec['logz'] == pytest.approx(b2.logz)
+
+
+def test_dynamic_exact_resume_mid_batch(tmp_path, monkeypatch):
+    """A crash in the MIDDLE of batch 1 (emulated: max_iters truncation —
+    which leaves exactly a crash's checkpoint state — then an exception
+    before ingest) resumes to the exact uninterrupted result: the batch
+    continues from its own exact checkpoint, the replayed host-RNG seed
+    draw keeps later batches on the identical stream."""
+    import nnest_tpu.samplers.dynamic as dyn
+
+    a = _mk_dyn(tmp_path, 'uninterrupted', resume=False)
+    a.run(num_batches=2, **_DYN_KW)
+
+    orig_run = dyn.NestedSampler.run
+    calls = {'n': 0}
+
+    def crashing_run(self, *args, **kw):
+        calls['n'] += 1
+        if calls['n'] == 2:          # batch 1
+            kw['max_iters'] = 40
+            orig_run(self, *args, **kw)
+            raise KeyboardInterrupt('emulated mid-batch kill')
+        return orig_run(self, *args, **kw)
+
+    with monkeypatch.context() as m:
+        m.setattr(dyn.NestedSampler, 'run', crashing_run)
+        killed = _mk_dyn(tmp_path, 'killed', resume=True)
+        with pytest.raises(KeyboardInterrupt):
+            killed.run(num_batches=2, **_DYN_KW)
+
+    # resume with a DIFFERENT constructor seed for the driver? No — the
+    # dynamic driver's seed feeds the batch samplers' constructor seeds,
+    # which matter for NOT-yet-started batches; pass the same arguments
+    # (the NestedSampler resume contract).
+    res = _mk_dyn(tmp_path, 'killed', resume=True)
+    res.run(num_batches=2, **_DYN_KW)
+    assert _final(res) == _final(a)
