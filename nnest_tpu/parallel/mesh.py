@@ -62,17 +62,23 @@ def shard_batch(x, mesh):
     return jax.device_put(x, batch_sharding(mesh)), pad
 
 
-def params_sharding_tree(params, mesh, min_dim=None):
-    """Sharding tree for flow params: MLP hidden weight matrices shard their
-    output (hidden) dim over 'tp' when divisible; everything else is
-    replicated. With tp=1 this is full replication (pure DP)."""
+def params_sharding_tree(params, mesh, min_dim=128):
+    """Sharding tree for flow params: MLP weight matrices shard their
+    output (hidden) dim over 'tp' when it is divisible by tp AND at least
+    ``min_dim`` wide; everything else is replicated. With tp=1 this is
+    full replication (pure DP).
+
+    ``min_dim`` defaults to one MXU tile (128): below that, splitting a
+    matmul that already underfills a single tile only adds collectives —
+    production conditioners (hidden 16-64) therefore replicate even at
+    tp>1, and the tp axis engages only for >=128-hidden flows (where it
+    is correctness-validated by tests/test_tp_sharding.py; see the
+    BENCHMARKS.md round-5 tp note for the measured argument)."""
     tp = mesh.shape['tp']
 
     def spec_for(path, leaf):
         if tp > 1 and hasattr(leaf, 'ndim') and leaf.ndim == 2:
-            # weight (n_in, n_out): shard n_out over tp when divisible and
-            # the matrix is a hidden layer (both dims > flow dim heuristic).
-            if leaf.shape[1] % tp == 0 and leaf.shape[1] >= tp:
+            if leaf.shape[1] % tp == 0 and leaf.shape[1] >= min_dim:
                 return NamedSharding(mesh, P(None, 'tp'))
         return NamedSharding(mesh, P())
 
