@@ -36,7 +36,7 @@ def analytic_gaussian_logz(dim, lim=3.0, sigma=1.0):
 
 def run_config(name, dim, seed, log_root, num_live_points, dlogz,
                train_iters, retrain_nll_threshold, mcmc_steps=0,
-               mcmc_num_chains=None, gauss_lim=3.0, hidden_dim=16,
+               mcmc_num_chains=None, gauss_lim=3.0, hidden_dim=0,
                num_blocks=3, strategy=None, slice_steps=0,
                mcmc_speculate=False, slice_adapt='cov', mcmc_adapt='cov',
                max_iters=0):
@@ -167,7 +167,8 @@ def main():
                          "reference-style isotropic stream)")
     ap.add_argument('--gauss_lim', type=float, default=3.0,
                     help='half-width (in sigma) of the Gaussian box prior')
-    ap.add_argument('--hidden_dim', type=int, default=16)
+    ap.add_argument('--hidden_dim', type=int, default=0,
+                    help='0 = sampler auto-capacity law')
     ap.add_argument('--num_blocks', type=int, default=3)
     ap.add_argument('--log_root', default='/tmp/nnest_e2e')
     ap.add_argument('--max_iters', type=int, default=0,

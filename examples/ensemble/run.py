@@ -68,7 +68,8 @@ if __name__ == '__main__':
     parser.add_argument('--bootstrap_steps', type=int, default=500)
     parser.add_argument('--bootstrap_iters', type=int, default=1)
     parser.add_argument('--num_training_samples', type=int, default=1000)
-    parser.add_argument('--hidden_dim', type=int, default=16)
+    parser.add_argument('--hidden_dim', type=int, default=0,
+                        help='0 = auto-scaled with x_dim')
     parser.add_argument('--num_layers', type=int, default=1)
     parser.add_argument('--flow', type=str, default='spline')
     parser.add_argument('--num_blocks', type=int, default=3)

@@ -98,7 +98,9 @@ if __name__ == '__main__':
     parser.add_argument('--num_live_points', type=int, default=1000)
     parser.add_argument('-mcmc_fixed_step_size', action='store_true')
     parser.add_argument('--switch', type=float, default=-1)
-    parser.add_argument('--hidden_dim', type=int, default=16)
+    parser.add_argument('--hidden_dim', type=int, default=0,
+                        help='0 = auto (16 below 16-D, 32 below 32-D, '
+                             '64 above)')
     parser.add_argument('--num_layers', type=int, default=1)
     parser.add_argument('--flow', type=str, default='spline')
     parser.add_argument('--num_blocks', type=int, default=3)

@@ -113,7 +113,7 @@ class Sampler:
                  transform=None,
                  prior=None,
                  append_run_num=True,
-                 hidden_dim=16,
+                 hidden_dim=0,
                  num_slow=0,
                  num_derived=0,
                  batch_size=100,
@@ -150,6 +150,17 @@ class Sampler:
             assert len(param_names) == self.num_params
         self.oversample_rate = (oversample_rate if oversample_rate > 0
                                 else self.num_fast / self.x_dim)
+
+        # Capacity autoscale (round 5): hidden_dim=0/None derives the
+        # conditioner width from x_dim. The round-4 roofline measured
+        # every hot program latency-bound 16-660x above its compute/
+        # memory roofline, so widening the conditioner is wall-free on
+        # TPU — spend it where the flow must fit higher-dimensional
+        # structure. Below 16-D the round-4 width is kept (the 10-D
+        # 8-12 s warm wall is pinned in BENCHMARKS.md); an explicit
+        # hidden_dim always wins.
+        if not hidden_dim:
+            hidden_dim = 16 if x_dim < 16 else (32 if x_dim < 32 else 64)
 
         self._user_loglike = loglike
         self._user_transform = transform

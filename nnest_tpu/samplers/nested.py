@@ -58,7 +58,7 @@ class NestedSampler(Sampler):
                  loglike,
                  transform=None,
                  append_run_num=True,
-                 hidden_dim=16,
+                 hidden_dim=0,
                  num_slow=0,
                  num_derived=0,
                  batch_size=100,

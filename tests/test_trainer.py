@@ -134,3 +134,19 @@ def test_shared_jit_across_instances():
     assert t4._config_key is None
     assert t4._forward is not t1._forward
     assert not any(k[0] is None for k in _SHARED_JIT_CACHE)
+
+
+def test_capacity_autoscale_law():
+    """hidden_dim=0 (the default) derives conditioner width from x_dim:
+    16 below 16-D (round-4 width, pins the 10-D warm wall), 32 below
+    32-D, 64 at/above 32-D; an explicit hidden_dim always wins
+    (VERDICT r4 item 2 — spend the roofline-measured free compute)."""
+    from nnest_tpu import NestedSampler
+    from nnest_tpu.likelihoods import Gaussian
+    for d, expect in ((2, 16), (10, 16), (16, 32), (31, 32), (32, 64),
+                      (50, 64)):
+        s = NestedSampler(d, Gaussian(d, 0.0), log_dir=None, resume=False)
+        assert s.trainer._config_key[2] == expect, (d, expect)
+    s = NestedSampler(20, Gaussian(20, 0.0), hidden_dim=48, log_dir=None,
+                      resume=False)
+    assert s.trainer._config_key[2] == 48
