@@ -7,8 +7,9 @@ kernel (kernels.py) so the whole walker trajectory is one compiled program:
 - ``bootstrap()``: plain ensemble run in REAL space → autocorrelation
   thinning → iterate [train flow → latent-space ensemble → re-thin]
   (reference ``ensemble.py:81-184``; autocorr thinning replaces
-  ``emcee.get_autocorr_time``, getdist ``makeSingleSamples`` replaced by
-  direct unit-weight thinning).
+  ``emcee.get_autocorr_time``; the between-round re-thin is the getdist
+  ``makeSingleSamples(single_thin=thin)`` unit-weight Bernoulli draw,
+  reimplemented seeded — see ``_make_single_samples``).
 - ``run()``: normalize training samples, train, one latent ensemble run
   (reference ``ensemble.py:186-231``).
 """
@@ -349,11 +350,40 @@ class EnsembleSampler(Sampler):
             samples = self.transform(
                 samples.reshape(-1, self.x_dim)).reshape(samples.shape)
             self._chain_stats(samples)
-            training_samples = samples[:, ::thin, :].reshape(-1, self.x_dim)
+            training_samples = self._make_single_samples(samples, thin, it)
             self._bootstrap_save(it, samples, training_samples)
 
         self._join_plots()
         return training_samples
+
+    def _make_single_samples(self, chains, thin, phase):
+        """Unit-weight random re-thin of the bootstrap chains — parity
+        with the reference's getdist draw
+        ``MCSamples(...).makeSingleSamples(single_thin=thin)``
+        (``/root/reference/nnest/ensemble.py:180-182``): row i survives
+        with probability w_i / (max w · thin). Bootstrap chains are
+        unit-weight, so this is Bernoulli(1/thin) random subsampling of
+        the flattened chains — the next round's flow trains on an
+        unbiased random draw rather than the round-4 stride
+        ``samples[:, ::thin, :]`` (same marginal in expectation; the
+        stride kept deterministic phase-aligned rows). The reference's
+        draw is unseeded; here it derives from the sampler's CHECKPOINTED
+        PRNG stream (one ``_next_key`` per re-thin — NOT the constructor
+        seed, which deliberately differs on resume), so
+        seed-reproducibility, bit-exact bootstrap resume and
+        multi-process lockstep all hold. Degenerate draws (< 2·x_dim
+        rows) fall back to the stride. ``phase`` is accepted for
+        logging/debug symmetry with ``_bootstrap_save``."""
+        del phase  # the key stream already encodes the phase position
+        flat = chains.reshape(-1, self.x_dim)
+        key_bits = np.asarray(
+            jax.random.key_data(self._next_key())).astype(np.uint32)
+        rng = np.random.default_rng([int(x) for x in key_bits.ravel()])
+        keep = rng.uniform(size=flat.shape[0]) <= 1.0 / max(int(thin), 1)
+        out = flat[keep]
+        if out.shape[0] < 2 * self.x_dim:
+            return chains[:, ::thin, :].reshape(-1, self.x_dim)
+        return out
 
     # ------------------------------------------------------------------ run
 

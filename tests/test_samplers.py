@@ -152,3 +152,38 @@ def test_ensemble_corrupt_bootstrap_checkpoint(tmp_path, gauss_problem):
     np.testing.assert_array_equal(
         np.asarray(jax.random.key_data(s._key)), key_before)
     assert s.total_calls == calls_before
+
+
+def test_make_single_samples_getdist_parity(tmp_path, gauss_problem):
+    """The bootstrap re-thin is the getdist makeSingleSamples unit-weight
+    Bernoulli(1/thin) draw (reference ensemble.py:180-182), derived from
+    the sampler's checkpointed PRNG stream (NOT the constructor seed —
+    resume deliberately changes that); degenerate draws fall back to the
+    stride."""
+    like, prior, training = gauss_problem
+
+    def fresh(seed):
+        return EnsembleSampler(2, like, prior=prior,
+                               log_dir=str(tmp_path / ('ens%d' % seed)),
+                               seed=seed)
+
+    rng = np.random.RandomState(5)
+    chains = rng.normal(size=(8, 100, 2))
+    flat = chains.reshape(-1, 2)
+    # identical key streams -> identical draws (seed reproducibility)
+    out = fresh(11)._make_single_samples(chains, thin=4, phase=1)
+    np.testing.assert_array_equal(
+        out, fresh(11)._make_single_samples(chains, thin=4, phase=1))
+    # every row of the draw is a row of the input (unit-weight subsample)
+    assert all(any(np.array_equal(r, f) for f in flat[:]) for r in out[:5])
+    # ~n/thin rows survive (unit weights)
+    assert 0.5 * flat.shape[0] / 4 <= out.shape[0] <= 2 * flat.shape[0] / 4
+    # consecutive draws consume the key stream -> different subsets
+    s = fresh(12)
+    a = s._make_single_samples(chains, 4, 1)
+    b = s._make_single_samples(chains, 4, 2)
+    assert a.shape != b.shape or not np.array_equal(a, b)
+    # degenerate: absurd thin falls back to stride thinning
+    np.testing.assert_array_equal(
+        fresh(13)._make_single_samples(chains, 10 ** 6, 1),
+        chains[:, ::10 ** 6, :].reshape(-1, 2))
