@@ -35,9 +35,27 @@ with the reference v0.4.2, torch CPU, getdist/emcee stubbed, 2026-08-16):
        on this machine (torch CPU, 2026-08-17, benchmarks/ref_shell_bench.py).
        REF_REJECTION_SHELL_CAND_PER_SEC: see constant below.
 
+  E) Latent ensemble stretch move (the EnsembleSampler engine): proposal
+     evaluations/s, full-MH latent stretch on the same 16-D flow. The
+     reference hands this to emcee, whose default (non-vectorized)
+     stretch calls ``transformed_loglike`` one walker at a time, each
+     paying a torch flow inverse (``nnest/sampler.py:674-689``) —
+     measured same-protocol on this machine via
+     benchmarks/ref_ensemble_bench.py (2026-08-20, torch CPU 4 threads,
+     best of 4 runs 138.4, range 86-138 under load — the denominator is
+     the reference-favoring best).
+       REF_ENSEMBLE_EVALS_PER_SEC = 138.4
+  F) Constrained latent SLICE kernel (the 'slice' strategy, a capability
+     the reference lacks): within-shell likelihood evaluations/s under
+     the kernel's sequential-accounting ncall rule — the same currency
+     as workload C, against the same denominator: the reference's only
+     within-shell engine is its constrained Metropolis
+     (``nnest/sampler.py:299-370``), so REF_NESTED_EVALS_PER_SEC is the
+     price a reference user pays for the job slice does here.
+
 The TPU side runs the same statistical workloads batched wide (the point of
 the TPU-native design: one chip retires the whole chain block per fused
-scan step). The reported value is the geometric mean of the five speedups.
+scan step). The reported value is the geometric mean of the seven speedups.
 """
 
 import json
@@ -61,12 +79,17 @@ REF_REJECTION_CAND_PER_SEC = 112.2
 # the historical 112.2 used for workload D remains a deliberately
 # conservative (reference-favoring) ceiling.
 REF_REJECTION_SHELL_CAND_PER_SEC = 1.355
+REF_ENSEMBLE_EVALS_PER_SEC = 138.4
 
 X_DIM = 16
 MCMC_CHAINS = 16384
 MCMC_STEPS = 100
 NESTED_CHAINS = 4096
 NESTED_STEPS = 80          # 5 * x_dim, the nested default
+SLICE_CHAINS = 4096
+SLICE_STEPS = 32           # 2 * x_dim, the slice default
+ENSEMBLE_WALKERS = 4096
+ENSEMBLE_STEPS = 100
 REJECTION_TRIALS = 65536
 TRAIN_N = 1000
 TRAIN_EPOCHS = 50
@@ -145,6 +168,50 @@ def bench_nested_kernel(setup):
     return NESTED_CHAINS * NESTED_STEPS / dt
 
 
+def bench_slice_kernel(setup):
+    """Constrained latent slice kernel: sequential-accounting likelihood
+    evaluations/s (the kernel's ncall rule — what a sequential
+    implementation of the same trajectory would pay), permissive bound
+    so every geometry-passing probe evaluates, mirroring workload C's
+    protocol."""
+    model, params, kern, like_fn = setup
+    z0 = 0.1 * jax.random.normal(jax.random.PRNGKey(31),
+                                 (SLICE_CHAINS, X_DIM))
+    x0, _ = model.inverse(params, z0)
+    logl0, derived0 = like_fn(x0)
+
+    def run(key):
+        return kern.slice_(params, key, z0, logl0, derived0,
+                           loglstar=-1e9, width=1.0,
+                           slice_steps=SLICE_STEPS)
+
+    out = run(jax.random.PRNGKey(32))
+    jax.block_until_ready(out['final_x'])
+    n_evals = 0
+    t0 = time.perf_counter()
+    for i in range(3):
+        out = run(jax.random.PRNGKey(33 + i))
+        n_evals += int(out['ncall'])   # pull forces completion
+    return n_evals / (time.perf_counter() - t0)
+
+
+def bench_ensemble_stretch(setup):
+    """Latent ensemble stretch move (EnsembleSampler engine): proposal
+    evaluations/s, full-MH, red-black half ensembles — the statistical
+    workload emcee performs for the reference one walker at a time."""
+    model, params, kern, like_fn = setup
+    z0 = 0.1 * jax.random.normal(jax.random.PRNGKey(41),
+                                 (ENSEMBLE_WALKERS, X_DIM))
+
+    def run(key):
+        return kern.stretch(params, key, z0, mcmc_steps=ENSEMBLE_STEPS)
+
+    dt = _time_reps(run, jax.random.PRNGKey(42),
+                    [jax.random.PRNGKey(43 + i) for i in range(3)],
+                    'samples')
+    return ENSEMBLE_WALKERS * ENSEMBLE_STEPS / dt
+
+
 def bench_rejection_flow(setup):
     """Rejection-flow candidates/s (cached envelope) at the permissive
     bound AND at a realistic shell (loglstar = 90th pct of this flow's own
@@ -201,10 +268,14 @@ def main():
     setup = _setup()
     mcmc_rate = bench_mcmc(setup)
     nested_rate = bench_nested_kernel(setup)
+    slice_rate = bench_slice_kernel(setup)
+    ensemble_rate = bench_ensemble_stretch(setup)
     rejection_rate, shell_rate = bench_rejection_flow(setup)
     train_rate = bench_train()
     speedups = [mcmc_rate / REF_MCMC_EVALS_PER_SEC,
                 nested_rate / REF_NESTED_EVALS_PER_SEC,
+                slice_rate / REF_NESTED_EVALS_PER_SEC,
+                ensemble_rate / REF_ENSEMBLE_EVALS_PER_SEC,
                 rejection_rate / REF_REJECTION_CAND_PER_SEC,
                 shell_rate / REF_REJECTION_SHELL_CAND_PER_SEC,
                 train_rate / REF_TRAIN_EPOCHS_PER_SEC]
@@ -213,11 +284,15 @@ def main():
         'metric': ('throughput speedup vs PyTorch-CPU nnest (geomean of: '
                    '16-D spline full-MH MCMC evals/s %.0f [ref %.0f], '
                    'nested constrained-MCMC evals/s %.0f [ref %.0f], '
+                   'slice-kernel evals/s %.0f [ref %.0f Metropolis], '
+                   'ensemble stretch evals/s %.0f [ref %.1f], '
                    'rejection-flow candidates/s %.0f [ref %.0f], '
                    'rejection-flow @10%%-shell candidates/s %.0f '
                    '[ref %.2f], flow-train epochs/s %.2f [ref %.2f])'
                    % (mcmc_rate, REF_MCMC_EVALS_PER_SEC,
                       nested_rate, REF_NESTED_EVALS_PER_SEC,
+                      slice_rate, REF_NESTED_EVALS_PER_SEC,
+                      ensemble_rate, REF_ENSEMBLE_EVALS_PER_SEC,
                       rejection_rate, REF_REJECTION_CAND_PER_SEC,
                       shell_rate, REF_REJECTION_SHELL_CAND_PER_SEC,
                       train_rate, REF_TRAIN_EPOCHS_PER_SEC)),

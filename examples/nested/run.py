@@ -71,6 +71,24 @@ def main(args):
         # equals the uninterrupted one (see README: checkpoint/resume)
         append_run_num=not args.resume, resume=args.resume)
     start = time.time()
+    if getattr(args, 'prewarm', False):
+        # Pay the cold remote-compile cost ahead of the real run: the
+        # compiled programs land in the persistent compilation cache, so
+        # a subsequent identical-config run (same flags) starts warm.
+        walls = sampler.prewarm(
+            strategy=args.strategy.split(',') if args.strategy else None,
+            train_iters=args.train_iters, mcmc_steps=args.mcmc_steps,
+            mcmc_num_chains=args.mcmc_num_chains,
+            mcmc_dynamic_step_size=not args.mcmc_fixed_step_size,
+            mcmc_gen_batch=args.mcmc_gen_batch,
+            mcmc_speculate=args.mcmc_speculate,
+            slice_adapt=args.slice_adapt, mcmc_adapt=args.mcmc_adapt,
+            rejection_batch_size=args.rejection_batch_size,
+            rejection_gen_batch=args.rejection_gen_batch)
+        print('Prewarm walls (s): %s' % walls)
+        print('Run time %s' % datetime.timedelta(
+            seconds=time.time() - start))
+        return
     sampler.run(train_iters=args.train_iters, mcmc_steps=args.mcmc_steps,
                 max_iters=args.max_iters,
                 volume_switch=args.switch, jitter=args.jitter,
@@ -138,6 +156,11 @@ if __name__ == '__main__':
     parser.add_argument('--resume', action='store_true',
                         help='fixed run dir + bit-exact resume from its '
                              'newest checkpoint')
+    parser.add_argument('--prewarm', action='store_true',
+                        help='compile-and-cache the device programs for '
+                             'this configuration, then exit (run the '
+                             'same flags afterwards to start warm; see '
+                             'NestedSampler.prewarm)')
     parser.add_argument('--max_iters', type=int, default=1000000,
                         help='stop after N iterations (checkpointed; '
                              're-run with --resume to continue exactly)')

@@ -119,6 +119,79 @@ class NestedSampler(Sampler):
                          'jump_distance', 'scale', 'loglstar', 'logz',
                          'fraction_remain', 'ncall'])
 
+    # -------------------------------------------------------------- prewarm
+
+    def prewarm(self, strategy=None, max_iters_per_method=2,
+                **run_kwargs):
+        """Compile (and persist into the compilation cache) the device
+        programs a ``run()`` with this configuration will need, BEFORE
+        the real run pays for them: the 20-D slice program measured ~11
+        minutes of cold remote-compile service time (BENCHMARKS.md
+        round 3 part 6); after a prewarm the real run's first dispatch
+        loads from the persistent cache in seconds.
+
+        Mechanics: one bounded throwaway run per strategy method (each
+        in a temp dir, ``strategy=[method]``, ``max_iters_per_method``
+        iterations) with THIS sampler's likelihood/transform/flow
+        configuration — compiled programs are keyed on the traced
+        computation, so the likelihood closure and every static shape
+        (num_live_points, chain counts, step counts, gen batches,
+        adapt flags) must match the real run: pass the same
+        ``run_kwargs`` you will pass to ``run()``. Covers initial flow
+        training + the first pool-generation program of each method;
+        deeper programs that only materialize later (higher rungs of
+        the adaptive rejection trial ladder) still compile on first
+        use. This sampler instance is untouched (fresh throwaway
+        samplers do the compiling); the user likelihood's evaluation
+        counter does advance by the throwaway runs' (few) calls.
+
+        Returns {method: wall_seconds} — dominated by compile time on a
+        cold cache, near-zero on a warm one. Custom ``base_dist`` flows
+        are not covered (pass-through not captured); their programs
+        compile on first real use as before.
+        """
+        import shutil
+        import tempfile
+        import time as _time
+
+        strategy = list(strategy or ['rejection_prior', 'mcmc'])
+        unknown = [m for m in strategy if m not in self._METHODS]
+        if unknown:
+            raise ValueError('unknown strategy method(s) %s' % unknown)
+        kwargs = dict(run_kwargs)
+        kwargs.pop('strategy', None)
+        kwargs.pop('max_iters', None)
+        d = dict(self._init_args)
+        walls = {}
+        tmp = tempfile.mkdtemp(prefix='nnest_prewarm_')
+        try:
+            for m in strategy:
+                t0 = _time.time()
+                s = type(self)(
+                    self.x_dim, self._user_loglike,
+                    transform=self._user_transform,
+                    num_live_points=self.num_live_points,
+                    hidden_dim=d.get('hidden_dim', 0),
+                    num_slow=self.num_slow,
+                    num_derived=self.num_derived,
+                    batch_size=d.get('batch_size', 100),
+                    flow=d.get('flow', 'spline'),
+                    num_blocks=d.get('num_blocks', 3),
+                    num_layers=d.get('num_layers', 1),
+                    learning_rate=d.get('learning_rate', 0.001),
+                    log_dir=os.path.join(tmp, m),
+                    append_run_num=False, resume=False,
+                    base_dist=None, scale=d.get('scale', ''),
+                    oversample_rate=d.get('oversample_rate', -1),
+                    log_level=logging.WARNING, seed=0, mesh=self.mesh)
+                s.run(strategy=[m], max_iters=max_iters_per_method,
+                      **kwargs)
+                walls[m] = round(_time.time() - t0, 1)
+                self.logger.info('Prewarmed %r in %.1f s' % (m, walls[m]))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return walls
+
     # ------------------------------------------------------------------ run
 
     def run(self,

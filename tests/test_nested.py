@@ -495,3 +495,35 @@ def test_flow_gen_batch_bit_identical(tmp_path):
               rejection_gen_batch=batch, mcmc_gen_batch=batch)
         results[batch] = (s.logz, s.logzerr, s.total_calls)
     assert results[1] == results[8]
+
+
+def test_prewarm_compiles_and_leaves_sampler_untouched(tmp_path):
+    """prewarm() runs one bounded throwaway run per strategy method
+    (compiling the real-config programs into the cache) without touching
+    this sampler's PRNG stream or counters; a subsequent run() produces
+    the standard oracle."""
+    import jax as _jax
+    like = Gaussian(2, 0.0, lim=3)
+    s = NestedSampler(2, like, transform=lambda x: 3 * x,
+                      num_live_points=100,
+                      log_dir=str(tmp_path / 'pw'), resume=False, seed=42)
+    key_before = np.asarray(_jax.random.key_data(s._key)).copy()
+    walls = s.prewarm(strategy=['rejection_prior', 'slice'],
+                      train_iters=50, mcmc_num_chains=8, slice_steps=4,
+                      rejection_batch_size=32)
+    assert set(walls) == {'rejection_prior', 'slice'}
+    assert all(w >= 0 for w in walls.values())
+    assert s.total_calls == 0
+    np.testing.assert_array_equal(
+        np.asarray(_jax.random.key_data(s._key)), key_before)
+    with pytest.raises(ValueError, match='unknown strategy'):
+        s.prewarm(strategy=['nope'])
+    # the real run is bit-identical to a twin that never prewarmed
+    s.run(train_iters=50, dlogz=0.5)
+    s2 = NestedSampler(2, Gaussian(2, 0.0, lim=3),
+                       transform=lambda x: 3 * x, num_live_points=100,
+                       log_dir=str(tmp_path / 'plain'), resume=False,
+                       seed=42)
+    s2.run(train_iters=50, dlogz=0.5)
+    assert (s.logz, s.h, s.total_calls) == (s2.logz, s2.h,
+                                            s2.total_calls)
