@@ -101,7 +101,8 @@ def main(args):
                 mcmc_speculate=args.mcmc_speculate,
                 slice_adapt=args.slice_adapt,
                 mcmc_adapt=args.mcmc_adapt,
-                rejection_gen_batch=args.rejection_gen_batch)
+                rejection_gen_batch=args.rejection_gen_batch,
+                show_progress=getattr(args, 'show_progress', False))
     print('Run time %s' % datetime.timedelta(seconds=time.time() - start))
     print('logz %.3f +/- %.3f (ncall %d)' % (
         sampler.logz, sampler.logzerr, sampler.total_calls))
@@ -156,6 +157,9 @@ if __name__ == '__main__':
     parser.add_argument('--resume', action='store_true',
                         help='fixed run dir + bit-exact resume from its '
                              'newest checkpoint')
+    parser.add_argument('--show_progress', action='store_true',
+                        help='tqdm progress bar on the nested iteration '
+                             'loop (reference parity: sampler.py:256,654)')
     parser.add_argument('--prewarm', action='store_true',
                         help='compile-and-cache the device programs for '
                              'this configuration, then exit (run the '

@@ -289,6 +289,29 @@ class EnsembleSampler(Sampler):
                 if start_phase >= iters:
                     return training_samples
 
+        h5 = (os.path.join(self.log_dir, 'emcee.h5')
+              if self.log_dir is not None else None)
+        if start_phase < 0 and h5 is not None and os.path.isfile(h5):
+            # Seed phase 0 from an existing emcee HDF backend file: the
+            # reference persists its initial real-space ensemble to
+            # <log_dir>/emcee.h5 and reuses it on restart
+            # (reference ensemble.py:114,140-141), so a migrating user's
+            # file drops in here. Consumed read-only — the stored chain
+            # replaces the phase-0 run (no additional emcee steps; the
+            # native kernel takes over from phase 1).
+            chains = self._load_emcee_h5(h5)
+            self.logger.info(
+                'Seeding phase 0 from emcee.h5 (%d walkers x %d stored '
+                'iterations)' % chains.shape[:2])
+            self._chain_stats(chains)
+            tau = integrated_autocorr_time(chains)
+            discard = min(int(2 * np.max(tau)), chains.shape[1] // 2)
+            step_thin = max(int(0.5 * np.min(tau)), 1)
+            training_samples = chains[:, discard::step_thin, :].reshape(
+                -1, self.x_dim)
+            self._bootstrap_save(0, chains, training_samples)
+            start_phase = 0
+
         if start_phase < 0:
             # Phase 0: real-space ensemble (reference ensemble.py:137-143).
             if init_samples is None:
@@ -355,6 +378,21 @@ class EnsembleSampler(Sampler):
 
         self._join_plots()
         return training_samples
+
+    def _load_emcee_h5(self, path):
+        """Read an emcee ``HDFBackend`` file (group 'mcmc': datasets
+        'chain' of shape (iteration, walkers, dim) and attr 'iteration')
+        into the (walkers, iterations, dim) layout the bootstrap uses."""
+        import h5py
+        with h5py.File(path, 'r') as f:
+            g = f['mcmc']
+            n_it = int(g.attrs.get('iteration', g['chain'].shape[0]))
+            chain = np.asarray(g['chain'][:max(n_it, 1)], np.float64)
+        if chain.ndim != 3 or chain.shape[2] != self.x_dim:
+            raise ValueError(
+                'emcee.h5 chain shape %r does not match x_dim=%d'
+                % (chain.shape, self.x_dim))
+        return np.transpose(chain, (1, 0, 2))
 
     def _make_single_samples(self, chains, thin, phase):
         """Unit-weight random re-thin of the bootstrap chains — parity

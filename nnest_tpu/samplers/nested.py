@@ -225,7 +225,8 @@ class NestedSampler(Sampler):
             slice_adapt='cov',
             init_points=None,
             birth_floor=None,
-            logl_ceiling=None):
+            logl_ceiling=None,
+            show_progress=False):
         # Dynamic-batch hooks (samplers/dynamic.py): an externally supplied
         # initial live set (already uniform within {logl > birth_floor}),
         # the batch's birth threshold (recorded in threads.npz so merged
@@ -567,6 +568,18 @@ class NestedSampler(Sampler):
                 'total_rejected': int(self.total_rejected),
                 'last_io_it': int(last_io_it),
             }
+
+        # Opt-in progress bar (the reference wraps its loops in tqdm,
+        # sampler.py:256,654; here the host consumption loop is the only
+        # per-iteration site). Logging keeps working alongside it.
+        pbar = None
+        if show_progress and self.single_or_primary_process:
+            try:
+                from tqdm import tqdm as _tqdm
+                pbar = _tqdm(initial=it, unit='it', desc='nested',
+                             dynamic_ncols=True)
+            except ImportError:
+                pass
 
         while fraction_remain > dlogz and it <= max_iters and (
                 logl_ceiling is None
@@ -1093,6 +1106,13 @@ class NestedSampler(Sampler):
                 logz_remain = np.max(active_logl) - it / self.num_live_points
                 fraction_remain = np.logaddexp(logz, logz_remain) - logz
                 it += 1
+                if pbar is not None:
+                    pbar.update(1)
+                    if it % log_interval == 0:
+                        pbar.set_postfix(logz='%.3f' % logz,
+                                         loglstar='%.3g' % loglstar,
+                                         ncall=self.total_calls,
+                                         refresh=False)
 
                 if self.single_or_primary_process:
                     # per-acceptance TensorBoard scalar: ~1 call per
@@ -1159,6 +1179,9 @@ class NestedSampler(Sampler):
                                 lambda s=self.samples, ll=self.loglikes,
                                 w=self.weights:
                                 self._save_samples(s, ll, weights=w))
+
+        if pbar is not None:
+            pbar.close()
 
         # Integrate the remaining live points (nested.py:487-496).
         logvol = -len(saved_v) / self.num_live_points - \

@@ -527,3 +527,15 @@ def test_prewarm_compiles_and_leaves_sampler_untouched(tmp_path):
     s2.run(train_iters=50, dlogz=0.5)
     assert (s.logz, s.h, s.total_calls) == (s2.logz, s2.h,
                                             s2.total_calls)
+
+
+def test_show_progress_smoke(tmp_path, capsys):
+    """Opt-in tqdm progress bar: the run completes normally with the bar
+    enabled (bar output goes to stderr; results are unaffected)."""
+    like = Gaussian(2, 0.0, lim=3)
+    s = NestedSampler(2, like, transform=lambda x: 3 * x,
+                      num_live_points=100,
+                      log_dir=str(tmp_path / 'pb'), resume=False, seed=0)
+    s.run(train_iters=50, dlogz=0.5, show_progress=True)
+    assert abs(s.logz + 3.752) < 0.05
+    assert 'it' in capsys.readouterr().err

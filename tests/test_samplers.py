@@ -187,3 +187,39 @@ def test_make_single_samples_getdist_parity(tmp_path, gauss_problem):
     np.testing.assert_array_equal(
         fresh(13)._make_single_samples(chains, 10 ** 6, 1),
         chains[:, ::10 ** 6, :].reshape(-1, 2))
+
+
+def test_emcee_h5_seeds_phase0(tmp_path, gauss_problem):
+    """An existing emcee HDF backend file in the run dir seeds bootstrap
+    phase 0 (reference parity: the reference persists/reuses
+    <log_dir>/emcee.h5, ensemble.py:114,140-141): the stored chain
+    replaces the phase-0 ensemble run — no phase-0 likelihood calls are
+    paid — and later phases proceed normally."""
+    import h5py
+    like, prior, training = gauss_problem
+    s = EnsembleSampler(2, like, prior=prior, append_run_num=False,
+                        log_dir=str(tmp_path / 'h5seed'), seed=4)
+    # emcee HDFBackend layout: group 'mcmc', chain (iteration, walkers,
+    # dim), attr 'iteration'
+    rng = np.random.RandomState(0)
+    chain = rng.normal(size=(60, 16, 2))
+    with h5py.File(f"{s.log_dir}/emcee.h5", 'w') as f:
+        g = f.create_group('mcmc')
+        g.create_dataset('chain', data=chain)
+        g.attrs['iteration'] = 60
+    calls_before = s.total_calls
+    out = s.bootstrap(40, 16, iters=1, thin=3)
+    # phase 0 came from the file: only phase-1 kernel calls were paid
+    assert s.total_calls - calls_before <= 40 * 16
+    assert out.shape[1] == 2
+    # mismatched dimension is rejected loudly
+    s2 = EnsembleSampler(3, Gaussian(3, 0.0, lim=5),
+                         prior=UniformPrior(3, -5, 5),
+                         append_run_num=False,
+                         log_dir=str(tmp_path / 'h5bad'), seed=4)
+    with h5py.File(f"{s2.log_dir}/emcee.h5", 'w') as f:
+        g = f.create_group('mcmc')
+        g.create_dataset('chain', data=chain)
+        g.attrs['iteration'] = 60
+    with pytest.raises(ValueError, match='does not match x_dim'):
+        s2.bootstrap(40, 16, iters=1, thin=3)
