@@ -29,9 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def analytic_gaussian_logz(dim, lim=3.0, sigma=1.0):
-    """Unit Gaussian in a [-lim, lim]^dim box prior."""
-    mass = math.erf(lim / (sigma * math.sqrt(2.0)))
-    return dim * (math.log(mass) - math.log(2.0 * lim))
+    """Gaussian(sigma) in a [-lim, lim]^dim box prior — delegates to the
+    single truth source ``Gaussian.analytic_logz`` (exact truncated-box
+    mass): a sigma-scaled problem maps to the unit-sigma class on the
+    box [-lim/sigma, lim/sigma] up to the d*log(sigma) volume factor."""
+    from nnest_tpu.likelihoods import Gaussian
+    r = lim / sigma
+    return (Gaussian(dim, 0.0).analytic_logz([-r] * dim, [r] * dim)
+            - dim * math.log(sigma))
 
 
 def run_config(name, dim, seed, log_root, num_live_points, dlogz,

@@ -208,9 +208,12 @@ class DynamicNestedSampler:
     def _save_state(self):
         """Atomic cross-batch bundle written after every ingested batch
         (tmp + os.replace — a mid-write crash leaves the previous bundle,
-        and the newer batch simply replays from its own run dir)."""
+        and the newer batch simply replays from its own run dir). Only
+        written when ``resume=True``: without it no future invocation can
+        find the pinned dir, and the bundle grows O(total saved points)
+        per batch — dead-weight synchronous IO otherwise."""
         path = self._state_path()
-        if path is None:
+        if path is None or not self._resume:
             return
         trainer_ready = (self._trainer is not None
                          and self._trainer.params is not None)

@@ -289,28 +289,40 @@ class EnsembleSampler(Sampler):
                 if start_phase >= iters:
                     return training_samples
 
-        h5 = (os.path.join(self.log_dir, 'emcee.h5')
-              if self.log_dir is not None else None)
-        if start_phase < 0 and h5 is not None and os.path.isfile(h5):
+        if start_phase < 0:
             # Seed phase 0 from an existing emcee HDF backend file: the
             # reference persists its initial real-space ensemble to
             # <log_dir>/emcee.h5 and reuses it on restart
             # (reference ensemble.py:114,140-141), so a migrating user's
             # file drops in here. Consumed read-only — the stored chain
             # replaces the phase-0 run (no additional emcee steps; the
-            # native kernel takes over from phase 1).
-            chains = self._load_emcee_h5(h5)
-            self.logger.info(
-                'Seeding phase 0 from emcee.h5 (%d walkers x %d stored '
-                'iterations)' % chains.shape[:2])
-            self._chain_stats(chains)
-            tau = integrated_autocorr_time(chains)
-            discard = min(int(2 * np.max(tau)), chains.shape[1] // 2)
-            step_thin = max(int(0.5 * np.min(tau)), 1)
-            training_samples = chains[:, discard::step_thin, :].reshape(
-                -1, self.x_dim)
-            self._bootstrap_save(0, chains, training_samples)
-            start_phase = 0
+            # native kernel takes over from phase 1). Multi-process:
+            # only rank 0 owns the run dir (so only it can see the
+            # file); the decision + thinned samples ride the SAME
+            # broadcast as bootstrap resume — without it rank 0 would
+            # skip phase 0 while the other ranks run it, desyncing key
+            # streams (the resume path above documents the hazard).
+            seeded = None
+            h5 = (os.path.join(self.log_dir, 'emcee.h5')
+                  if self.log_dir is not None else None)
+            if self.single_or_primary_process and h5 is not None \
+                    and os.path.isfile(h5):
+                chains = self._load_emcee_h5(h5)
+                self.logger.info(
+                    'Seeding phase 0 from emcee.h5 (%d walkers x %d '
+                    'stored iterations)' % chains.shape[:2])
+                self._chain_stats(chains)
+                tau = integrated_autocorr_time(chains)
+                discard = min(int(2 * np.max(tau)), chains.shape[1] // 2)
+                step_thin = max(int(0.5 * np.min(tau)), 1)
+                ts = chains[:, discard::step_thin, :].reshape(
+                    -1, self.x_dim)
+                self._bootstrap_save(0, chains, ts)
+                seeded = (0, ts)
+            if self.mpi_size > 1:
+                seeded = self._sync_bootstrap_state(seeded)
+            if seeded is not None:
+                start_phase, training_samples = seeded
 
         if start_phase < 0:
             # Phase 0: real-space ensemble (reference ensemble.py:137-143).
@@ -387,7 +399,16 @@ class EnsembleSampler(Sampler):
         with h5py.File(path, 'r') as f:
             g = f['mcmc']
             n_it = int(g.attrs.get('iteration', g['chain'].shape[0]))
-            chain = np.asarray(g['chain'][:max(n_it, 1)], np.float64)
+            chain = np.asarray(g['chain'][:n_it], np.float64)
+        if n_it < 2 or chain.shape[0] < 2:
+            # emcee creates the backend file on construction; a run
+            # killed before stepping leaves iteration=0 (or 1) — nothing
+            # usable to thin. Fail loudly rather than feed a 0-row chain
+            # into the autocorrelation estimator.
+            raise ValueError(
+                'emcee.h5 at %s holds %d completed iterations — nothing '
+                'to seed from (delete it to run the native phase 0)'
+                % (path, n_it))
         if chain.ndim != 3 or chain.shape[2] != self.x_dim:
             raise ValueError(
                 'emcee.h5 chain shape %r does not match x_dim=%d'

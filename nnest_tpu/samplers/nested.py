@@ -161,7 +161,21 @@ class NestedSampler(Sampler):
         kwargs = dict(run_kwargs)
         kwargs.pop('strategy', None)
         kwargs.pop('max_iters', None)
-        d = dict(self._init_args)
+        # Rebuild the throwaway samplers from the captured constructor
+        # args (everything trace-relevant: flow arch, batch size, slow
+        # dims, ...) rather than a hand-copied list — a forgotten or
+        # future config field would silently compile programs the real
+        # run never uses, re-paying the cold compile prewarm exists to
+        # avoid. Intersect with this class's signature; run-identity
+        # fields (dirs/seed/resume/logging) are overridden below.
+        import inspect
+        sig_params = set(inspect.signature(type(self).__init__).parameters)
+        override = {'self', 'x_dim', 'loglike', 'transform', 'prior',
+                    'trainer', 'base_dist', 'log_dir', 'append_run_num',
+                    'resume', 'seed', 'log_level', 'mesh',
+                    'num_live_points'}
+        ctor = {k: v for k, v in self._init_args.items()
+                if k in sig_params - override}
         walls = {}
         tmp = tempfile.mkdtemp(prefix='nnest_prewarm_')
         try:
@@ -171,19 +185,10 @@ class NestedSampler(Sampler):
                     self.x_dim, self._user_loglike,
                     transform=self._user_transform,
                     num_live_points=self.num_live_points,
-                    hidden_dim=d.get('hidden_dim', 0),
-                    num_slow=self.num_slow,
-                    num_derived=self.num_derived,
-                    batch_size=d.get('batch_size', 100),
-                    flow=d.get('flow', 'spline'),
-                    num_blocks=d.get('num_blocks', 3),
-                    num_layers=d.get('num_layers', 1),
-                    learning_rate=d.get('learning_rate', 0.001),
                     log_dir=os.path.join(tmp, m),
                     append_run_num=False, resume=False,
-                    base_dist=None, scale=d.get('scale', ''),
-                    oversample_rate=d.get('oversample_rate', -1),
-                    log_level=logging.WARNING, seed=0, mesh=self.mesh)
+                    log_level=logging.WARNING, seed=0, mesh=self.mesh,
+                    **ctor)
                 s.run(strategy=[m], max_iters=max_iters_per_method,
                       **kwargs)
                 walls[m] = round(_time.time() - t0, 1)
@@ -194,7 +199,22 @@ class NestedSampler(Sampler):
 
     # ------------------------------------------------------------------ run
 
-    def run(self,
+    def run(self, *args, **kwargs):
+        """See :meth:`_run_impl` for the full signature/docs. This thin
+        wrapper only guarantees the opt-in tqdm bar is closed when the
+        run raises (likelihood exception, Ctrl-C in the kill-then-resume
+        workflow) — a live bar would otherwise corrupt subsequent logger
+        output."""
+        self._run_pbar = None
+        try:
+            return self._run_impl(*args, **kwargs)
+        finally:
+            pb = getattr(self, '_run_pbar', None)
+            if pb is not None:
+                pb.close()
+                self._run_pbar = None
+
+    def _run_impl(self,
             strategy=None,
             mcmc_steps=0,
             mcmc_num_chains=None,
@@ -578,6 +598,7 @@ class NestedSampler(Sampler):
                 from tqdm import tqdm as _tqdm
                 pbar = _tqdm(initial=it, unit='it', desc='nested',
                              dynamic_ncols=True)
+                self._run_pbar = pbar   # closed by run() on exceptions
             except ImportError:
                 pass
 
@@ -1182,6 +1203,7 @@ class NestedSampler(Sampler):
 
         if pbar is not None:
             pbar.close()
+            self._run_pbar = None
 
         # Integrate the remaining live points (nested.py:487-496).
         logvol = -len(saved_v) / self.num_live_points - \
