@@ -134,6 +134,9 @@ def run_config(name, dim, seed, log_root, num_live_points, dlogz,
         'latent_cond_median': None
         if getattr(s, 'latent_cond_median', None) is None
         else round(float(s.latent_cond_median), 2),
+        'latent_cond_rel': None
+        if getattr(s, 'latent_cond_rel', None) is None
+        else round(float(s.latent_cond_rel), 3),
         'logzerr_adjusted': round(float(getattr(
             s, 'logzerr_adjusted', s.logzerr)), 4),
         'wall_s': round(wall, 1), 'phases': phases,
@@ -239,6 +242,11 @@ def main():
             else round(float(np.median(
                 [r['latent_cond_median'] for r in recs
                  if r.get('latent_cond_median') is not None])), 2),
+            'median_latent_cond_rel': None if all(
+                r.get('latent_cond_rel') is None for r in recs)
+            else round(float(np.median(
+                [r['latent_cond_rel'] for r in recs
+                 if r.get('latent_cond_rel') is not None])), 3),
             'mean_wall_s': round(float(np.mean([r['wall_s']
                                                 for r in recs])), 1),
         }

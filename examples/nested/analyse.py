@@ -70,7 +70,7 @@ def main(args):
             print('\n--------\nDim: %s (%d runs)\n--------' % (d, len(runs)))
             logzs, dlogzs, nlikes, ess, ins_ps = [], [], [], [], []
             boots, thread_files, chain_files = [], [], []
-            mix_rs = []
+            mix_rs, cond_rs = [], []
             flagged_runs = []   # (run dir, quality_flags) per flagged run
             for log_dir, params in runs:
                 fpath = os.path.join(log_dir, 'results', 'final.csv')
@@ -97,6 +97,8 @@ def main(args):
                         if diag.get(mkey) is not None:
                             mix_rs.append(float(diag[mkey]))
                             ins += ' mixing_R=%.2f' % diag[mkey]
+                        if diag.get('latent_cond_rel') is not None:
+                            cond_rs.append(float(diag['latent_cond_rel']))
                         if diag.get('quality_flags'):
                             flagged_runs.append(
                                 (os.path.basename(log_dir),
@@ -161,6 +163,15 @@ def main(args):
                            '= %.1fx (see logzerr_adjusted)' % min(
                                100.0, 1.0 / max(r, 1e-4) ** 2)
                         if r < 0.7 else ''))
+                if cond_rs:
+                    c = float(np.median(cond_rs))
+                    print('Latent structure ratio: %.2f (median)%s' % (
+                        c, ' — WARNING: structural anisotropy (curved '
+                           'degeneracy the flow cannot whiten); the '
+                           'sqrt(h/N) bar under-covers by ~%.1fx at ANY '
+                           'step count (see logzerr_adjusted)' % min(
+                               100.0, c)
+                        if c > 2.0 else ''))
                 if flagged_runs:
                     print('Quality flags: %d/%d runs flagged — %s' % (
                         len(flagged_runs), len(logzs),

@@ -314,6 +314,9 @@ class Sampler:
         self._mix_ratios_eig = []   # eigenbasis variant (mix_ratio_eig)
         self._latent_conds = []     # start-population latent condition nos
         self._mix_rels = []         # r_eig / kernel-specific healthy null
+        self._cond_rels = []        # latent_cond / healthy MP-floor null
+        self._cond_infl = []        # structural inflation terms (Metropolis
+                                    # generations only — see adjusted_logzerr)
         self._io_writer = None  # lazy serial background artifact writer
 
     # ------------------------------------------------------------- params
@@ -613,12 +616,17 @@ class Sampler:
             jax.block_until_ready(out['final_x'])
 
         out = self._fetch_all(out)
-        from nnest_tpu.utils.evaluation import metropolis_mix_null
+        from nnest_tpu.utils.evaluation import (metropolis_mix_null,
+                                                latent_cond_null)
         return self._consume_endpoint_out(
             out, ncall_extra=ncall_init,
-            mix_null=metropolis_mix_null(mcmc_steps, self.x_dim))
+            mix_null=metropolis_mix_null(mcmc_steps, self.x_dim,
+                                         adapt_cov=cov_from is not None),
+            cond_null=latent_cond_null(self.x_dim, init_samples.shape[0]),
+            cond_inflates=True)
 
-    def _consume_endpoint_out(self, out, ncall_extra=0, mix_null=None):
+    def _consume_endpoint_out(self, out, ncall_extra=0, mix_null=None,
+                              cond_null=None, cond_inflates=False):
         """Shared bookkeeping for endpoint-only kernel outputs (counter
         accumulation, diagnostic capture, float64 packing) — used by both
         the explicitly sharded `_mcmc_sample_final` route and the fused
@@ -628,8 +636,19 @@ class Sampler:
         ratio for this generation's step budget (see
         ``metropolis_mix_null`` / ``slice_mix_null``). When given and the
         kernel emitted ``mix_ratio_eig``, the RELATIVE ratio
-        r_eig/mix_null is recorded — the quantity the calibrated
-        logzerr adjustment is a function of (BENCHMARKS.md round 4)."""
+        r_eig/mix_null is recorded — the kinetic term of the calibrated
+        logzerr adjustment (BENCHMARKS.md round 4). ``cond_null``: the
+        healthy-run latent condition number for this generation's chain
+        count (``latent_cond_null``); the relative ratio is the
+        structural-anisotropy diagnostic. ``cond_inflates``: True for
+        Metropolis generations, whose structural ratio additionally
+        feeds the adjusted-error inflation — measured (BENCHMARKS.md
+        round 5): the random-walk kernel's excess banana scatter tracks
+        cond_rel (needed 3.2-6.4x where the kinetic term reads
+        1.5-2.2x) while the slice kernel's kinetic term alone already
+        calibrates on the same geometry (round-4 slice@100/@400 both in
+        band), so slice generations record the diagnostic without
+        inflating the bar."""
         self.total_calls += int(out['ncall'])
         self.total_fast_calls += int(out['fast_calls'])
         self.total_accepted += int(out['accepted'])
@@ -655,6 +674,10 @@ class Sampler:
             self._latent_conds.append(latent_cond)
             if mix_null is not None:
                 self._mix_rels.append(mix_eig / max(mix_null, 1e-6))
+            if cond_null is not None:
+                self._cond_rels.append(latent_cond / max(cond_null, 1e-6))
+                if cond_inflates:
+                    self._cond_infl.append(self._cond_rels[-1])
         self._last_kernel_stats = {
             'ess': np.asarray(out['ess'], dtype=np.float64),
             'acceptance': float(out['acceptance']),
@@ -705,9 +728,13 @@ class Sampler:
                 prior_volume_steps=prior_volume_steps,
                 adapt_cov=adapt_cov)
             out = self._fetch_all(out)
-        from nnest_tpu.utils.evaluation import metropolis_mix_null
+        from nnest_tpu.utils.evaluation import (metropolis_mix_null,
+                                                latent_cond_null)
         return self._consume_endpoint_out(
-            out, mix_null=metropolis_mix_null(mcmc_steps, self.x_dim))
+            out, mix_null=metropolis_mix_null(mcmc_steps, self.x_dim,
+                                              adapt_cov=adapt_cov),
+            cond_null=latent_cond_null(self.x_dim, num_chains),
+            cond_inflates=True)
 
     def _mcmc_generations_batch(self,
                                 mcmc_steps,
@@ -778,9 +805,11 @@ class Sampler:
                 slice_steps=slice_steps, max_expand=max_expand,
                 max_shrink=max_shrink, adapt_cov=adapt_cov)
             out = self._fetch_all(out)
-        from nnest_tpu.utils.evaluation import slice_mix_null
+        from nnest_tpu.utils.evaluation import (slice_mix_null,
+                                                latent_cond_null)
         return self._consume_endpoint_out(
-            out, mix_null=slice_mix_null(slice_steps, self.x_dim))
+            out, mix_null=slice_mix_null(slice_steps, self.x_dim),
+            cond_null=latent_cond_null(self.x_dim, num_chains))
 
     def _slice_sample_final(self,
                             slice_steps,
@@ -815,10 +844,12 @@ class Sampler:
                 stat_moments=stat_moments, cov_from=cov_from)
             jax.block_until_ready(out['final_x'])
         out = self._fetch_all(out)
-        from nnest_tpu.utils.evaluation import slice_mix_null
+        from nnest_tpu.utils.evaluation import (slice_mix_null,
+                                                latent_cond_null)
         return self._consume_endpoint_out(
             out, ncall_extra=ncall_init,
-            mix_null=slice_mix_null(slice_steps, self.x_dim))
+            mix_null=slice_mix_null(slice_steps, self.x_dim),
+            cond_null=latent_cond_null(self.x_dim, init_samples.shape[0]))
 
     def _slice_generations_batch(self,
                                  slice_steps,

@@ -430,6 +430,8 @@ class NestedSampler(Sampler):
         self._mix_ratios_eig = []
         self._latent_conds = []
         self._mix_rels = []
+        self._cond_rels = []
+        self._cond_infl = []
         # Dead-point thread ids (live-set slot of each death) for the
         # bootstrap logZ error. None = unavailable (legacy checkpoint
         # without the slot file) — the diagnostic is then skipped.
@@ -1007,14 +1009,19 @@ class NestedSampler(Sampler):
                                     g_it, g_loglstar, it,
                                     float(np.float32(loglstar))))
                         from nnest_tpu.utils.evaluation import (
-                            metropolis_mix_null, slice_mix_null)
+                            metropolis_mix_null, slice_mix_null,
+                            latent_cond_null)
                         g_null = (slice_mix_null(slice_steps, self.x_dim)
                                   if is_slice else
-                                  metropolis_mix_null(mcmc_steps,
-                                                      self.x_dim))
+                                  metropolis_mix_null(
+                                      mcmc_steps, self.x_dim,
+                                      adapt_cov=mcmc_adapt_cov))
                         (u_f, logl_f, derived_f, moved, mcmc_scale,
                          mean_jump, nc) = self._consume_endpoint_out(
-                            out_g, mix_null=g_null)
+                            out_g, mix_null=g_null,
+                            cond_null=latent_cond_null(self.x_dim,
+                                                       mcmc_num_chains),
+                            cond_inflates=not is_slice)
                     elif self.mesh is None and is_slice:
                         (u_f, logl_f, derived_f, moved, mcmc_scale,
                          mean_jump, nc) = self._slice_sample_live(
@@ -1333,11 +1340,27 @@ class NestedSampler(Sampler):
         # sigma 0.22 — unimodal, ridge densely covered by the live
         # set), so inflating there would be pure over-coverage. The
         # diagnostic fields are recorded at every dim regardless.
+        # Round-5 addition: the STRUCTURAL term. Curved degeneracies the
+        # flow cannot whiten keep the chain-start latent condition number
+        # 3-6x above the healthy Marchenko-Pastur-floor null at EVERY
+        # step count (20-D Rosenbrock: 14-20 vs null ~4) while the
+        # kinetic mixing ratio reads healthy once the proposal is
+        # covariance-preconditioned — the regime where the round-4
+        # kinetic-only law under-covered (measured 6.4x at cov@100,
+        # BENCHMARKS.md round 5). The adjusted bar takes the LARGER of
+        # the kinetic 1/R^2 and structural cond/null inflations; the
+        # structural inflation feeds from METROPOLIS generations only
+        # (slice's kinetic term alone calibrates on the same geometry —
+        # round-4 slice@100/@400 both in band) while the diagnostic
+        # ratio/flag covers both kernels.
         from nnest_tpu.utils.evaluation import adjusted_logzerr
         self.mixing_rel_ratio = (
             float(np.median(self._mix_rels)) if self._mix_rels else None)
+        self.latent_cond_rel = (
+            float(np.median(self._cond_rels)) if self._cond_rels else None)
         self.logzerr_adjusted = adjusted_logzerr(
-            self.logzerr, self._mix_rels, self.x_dim)
+            self.logzerr, self._mix_rels, self.x_dim,
+            cond_rels=self._cond_infl)
         # One-glance run verdict: the union of every single-run warning
         # (each also logged individually below). Empty = no diagnostic
         # fired; measured blind spots remain (rare multi-nat ridge
@@ -1348,6 +1371,9 @@ class NestedSampler(Sampler):
         if (self.mixing_rel_ratio is not None and self.x_dim >= 8
                 and self.mixing_rel_ratio < 0.7):
             self.run_quality_flags.append('under_mixed')
+        if (self.latent_cond_rel is not None and self.x_dim >= 8
+                and self.latent_cond_rel > 2.0):
+            self.run_quality_flags.append('structural_anisotropy')
         if (self.insertion_p_value < 0.01
                 or self.insertion_rolling_p_value < 0.01):
             self.run_quality_flags.append('nonuniform_insertion')
@@ -1388,6 +1414,7 @@ class NestedSampler(Sampler):
                     'mixing_min_ratio_eig': self.mixing_min_ratio_eig,
                     'mixing_rel_ratio': self.mixing_rel_ratio,
                     'latent_cond_median': self.latent_cond_median,
+                    'latent_cond_rel': self.latent_cond_rel,
                     'n_mix_windows': len(self._mix_ratios),
                     'logzerr_adjusted': self.logzerr_adjusted,
                     'quality_flags': self.run_quality_flags,
@@ -1438,13 +1465,28 @@ class NestedSampler(Sampler):
                         'or more steps'
                         if (self.mixing_rel_ratio < 0.7
                             and self.x_dim >= 8) else ''))
+                if self.latent_cond_rel is not None:
+                    self.logger.info(
+                        'Latent structure (chain-start condition number '
+                        'relative to the healthy MP-floor null): '
+                        '[%4.2f]%s' % (
+                            self.latent_cond_rel,
+                            ' — WARNING: the live set is collectively '
+                            'anisotropic beyond what the flow whitens '
+                            '(curved degeneracy); between-thread start '
+                            'correlation inflates the true logZ scatter '
+                            'at ANY step count — use logzerr_adjusted '
+                            'and validate with a seed sweep'
+                            if (self.latent_cond_rel > 2.0
+                                and self.x_dim >= 8) else ''))
                 if self.logzerr_adjusted > 1.5 * self.logzerr:
                     self.logger.info(
                         'Mixing-adjusted logZ error: %5.4f '
-                        '(= logzerr / R^2 with R the relative '
-                        'eigenbasis mixing ratio, calibrated in '
-                        'BENCHMARKS.md round 4; quoted logzerr keeps '
-                        'the sqrt(h/N) convention)'
+                        '(= logzerr x max(1/R^2, cond_rel) with R the '
+                        'relative eigenbasis mixing ratio and cond_rel '
+                        'the relative latent condition number, '
+                        'calibrated in BENCHMARKS.md rounds 4-5; quoted '
+                        'logzerr keeps the sqrt(h/N) convention)'
                         % self.logzerr_adjusted)
             self.logger.info(
                 'Run quality: %s' % (

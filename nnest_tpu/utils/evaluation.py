@@ -330,20 +330,28 @@ def merge_runs(runs):
     return out
 
 
-def metropolis_mix_null(steps, dim):
+def metropolis_mix_null(steps, dim, adapt_cov=False):
     """Expected healthy eigenbasis mixing ratio for the constrained
     Metropolis kernel at this step budget.
 
     Measured on calibrated (seed-scatter == sqrt(h/N)) Gaussian runs at
     production settings (256 chains, auto-adapted scale): the
     min-over-eigendirections start-decorrelation ratio scales as
-    c * steps / dim^2 with c ~= 1.4 (10-D/50 steps -> 0.68, 30-D/150
-    steps -> 0.24; BENCHMARKS.md round 4). A random-walk kernel pays a
-    dim factor for the step-size scaling and another for the
-    min-statistic over dim directions. The RELATIVE ratio
-    measured/expected is ~1 on whitened unimodal problems at any dim
-    and collapses on curved degeneracies the flow cannot whiten — the
-    regime where sqrt(h/N) under-covers.
+    c * steps / dim^2 with c ~= 1.4 for the isotropic proposal
+    (10-D/50 steps -> 0.68, 30-D/150 steps -> 0.24; BENCHMARKS.md
+    round 4). A random-walk kernel pays a dim factor for the step-size
+    scaling and another for the min-statistic over dim directions.
+    The covariance-preconditioned proposal (``mcmc_adapt='cov'``, the
+    round-5 default) adapts the per-direction scale to the live-set
+    covariance and decorrelates measurably faster on the SAME healthy
+    controls, with a WEAKER dim penalty: production-default (auto
+    capacity) Gaussian cov controls measure 0.71 at 10-D/50 steps and
+    0.41 at 30-D/150 steps, pinning null = 0.45 * steps / dim^1.5
+    (the two points give the exponent 1.50 to three digits; validated
+    at 50-D, BENCHMARKS.md round 5). Fit domain 10-50-D. The RELATIVE
+    ratio measured/expected is ~1 on whitened unimodal problems at any
+    dim and collapses on curved degeneracies the flow cannot whiten —
+    the regime where sqrt(h/N) under-covers.
 
     The null never drops below its value at the DEFAULT budget (5*dim
     steps, the calibration design point): a deliberately starved kernel
@@ -351,6 +359,8 @@ def metropolis_mix_null(steps, dim):
     its evidence is biased ~1 nat (the measured crippled-run regime) —
     too few steps must lower R and fire the flag, not relax the bar.
     """
+    if adapt_cov:
+        return min(1.0, 0.45 * max(steps, 5 * dim) / float(dim) ** 1.5)
     return min(1.0, 1.4 * max(steps, 5 * dim) / float(dim) ** 2)
 
 
@@ -371,20 +381,61 @@ def slice_mix_null(steps, dim):
         np.exp(-1.3 * max(steps, 2 * dim) / float(dim) ** 1.6)))
 
 
-def adjusted_logzerr(logzerr, mix_rels, x_dim):
-    """Calibrated single-run logZ uncertainty (BENCHMARKS.md round 4).
+def latent_cond_null(dim, n_chains):
+    """Healthy-run latent condition number of a chain-start population.
+
+    The kernel measures the condition number of the empirical latent
+    covariance of each pool generation's n_chains start points. When the
+    flow whitens the constrained prior, the TRUE latent covariance is
+    ~identity and the measured condition number is pure sample noise: by
+    Marchenko-Pastur the eigenvalue support edges of a d-variate,
+    n-sample identity-covariance estimate are (1 ± sqrt(d/n))^2, so the
+    noise-floor condition number is their ratio. Healthy (seed-scatter
+    == sqrt(h/N)) Gaussian controls measure slightly above the MP edge
+    ratio with a dim-growing residual (real residual anisotropy the
+    flow leaves behind): 10-D/256 chains -> 2.3 (MP 2.2), 30-D -> 5.8
+    (4.2), 50-D -> 11.3 (6.7), fit by MP_edge_ratio^1.25 (BENCHMARKS.md
+    rounds 4-5). Curved degeneracies the flow CANNOT whiten sit 3-6x
+    above this null at EVERY step count (20-D Rosenbrock: 14-20 vs null
+    4.2) — the structural signal behind the excess logZ seed scatter
+    that within-generation mixing statistics are measured blind to.
+    """
+    q = min(float(dim) / float(max(n_chains, dim + 1)), 0.98)
+    edge = ((1.0 + q ** 0.5) / (1.0 - q ** 0.5)) ** 2
+    return edge ** 1.25
+
+
+def adjusted_logzerr(logzerr, mix_rels, x_dim, cond_rels=None):
+    """Calibrated single-run logZ uncertainty (BENCHMARKS.md rounds 4-5).
 
     ``mix_rels``: per-generation relative eigenbasis mixing ratios
-    (measured / kernel null). Inflation follows 1/R^2 of the median,
-    clipped to [1, 100], applied only inside the calibration domain
-    (x_dim >= 8; low-D curved problems measure R << 1 yet calibrate at
-    or below sqrt(h/N)). Falls back to the raw sqrt(h/N) bar when no
-    chain kernel ran (pure-rejection runs cannot under-mix).
+    (measured / kernel null) — the KINETIC term; inflation follows
+    1/R^2 of the median. ``cond_rels``: per-generation relative latent
+    condition numbers (measured / ``latent_cond_null``) from METROPOLIS
+    generations — the STRUCTURAL term, step-count-independent;
+    inflation follows the median ratio directly. The quoted bar
+    inflates by the LARGER of the two terms: a starved kernel
+    under-mixes (kinetic fires even when the geometry is benign — the
+    crippled-run regime), while a well-stepped random-walk kernel on a
+    curved degeneracy mixes "healthily" within each generation yet
+    keeps between-thread start correlation alive (structural fires;
+    measured: 20-D Rosenbrock cov@400 needs ~4x where 1/R^2 reads only
+    2.2x). Slice generations are excluded from ``cond_rels`` by the
+    caller: the slice kernel's kinetic term alone calibrates on the
+    same geometry (round-4 slice@100/@400 both in band) and the
+    structural ratio would 3x-over-cover it. Clipped to [1, 100] and
+    applied only inside the calibration domain (x_dim >= 8; low-D
+    curved problems measure R << 1 yet calibrate at or below
+    sqrt(h/N)). Falls back to the raw sqrt(h/N) bar when no chain
+    kernel ran (pure-rejection runs cannot under-mix).
     """
     if not mix_rels or x_dim < 8:
         return float(logzerr)
     r = float(np.median(mix_rels))
-    return float(logzerr) * min(100.0, max(1.0, r ** -2))
+    inflation = max(1.0, r ** -2)
+    if cond_rels:
+        inflation = max(inflation, float(np.median(cond_rels)))
+    return float(logzerr) * min(100.0, inflation)
 
 
 def eig_mix_from_moments(cov, msd):

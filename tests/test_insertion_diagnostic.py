@@ -229,9 +229,10 @@ def test_mix_ratio_eig_isolates_rotated_ridge():
 
 
 def test_adjusted_logzerr_law():
-    """The calibrated 1/R^2 inflation (utils.evaluation.adjusted_logzerr):
-    clipped to [1, 100], median over generations, applied only inside the
-    x_dim >= 8 calibration domain, raw bar when no chain kernel ran."""
+    """The calibrated max(1/R^2, cond_rel) inflation
+    (utils.evaluation.adjusted_logzerr): clipped to [1, 100], medians
+    over generations, applied only inside the x_dim >= 8 calibration
+    domain, raw bar when no chain kernel ran."""
     from nnest_tpu.utils.evaluation import adjusted_logzerr
     assert adjusted_logzerr(0.3, [], 20) == 0.3            # pure rejection
     assert adjusted_logzerr(0.3, [0.5], 2) == 0.3          # low-D gate
@@ -239,3 +240,43 @@ def test_adjusted_logzerr_law():
     assert abs(adjusted_logzerr(0.3, [0.4, 0.5, 0.6], 20) - 1.2) < 1e-12
     assert adjusted_logzerr(0.3, [1e-4], 20) == 30.0       # 100x cap
     assert adjusted_logzerr(0.3, [1.5], 8) == 0.3          # never deflates
+    # structural term: larger of the two inflations wins
+    assert abs(adjusted_logzerr(0.3, [0.5], 20, cond_rels=[3.0])
+               - 0.3 * 4.0) < 1e-12                        # kinetic wins
+    assert abs(adjusted_logzerr(0.3, [1.0], 20, cond_rels=[3.0])
+               - 0.9) < 1e-12                              # structural wins
+    assert adjusted_logzerr(0.3, [1.0], 20, cond_rels=[0.5]) == 0.3
+    assert adjusted_logzerr(0.3, [1.0], 20, cond_rels=[500.0]) == 30.0
+    # structural term alone never applies without a kinetic history
+    # (no chain kernel ran -> raw bar)
+    assert adjusted_logzerr(0.3, [], 20, cond_rels=[5.0]) == 0.3
+    assert adjusted_logzerr(0.3, [1.0], 2, cond_rels=[5.0]) == 0.3
+
+
+def test_latent_cond_null_and_cov_null():
+    """Healthy-run structural/kinetic nulls (BENCHMARKS.md rounds 4-5):
+    latent_cond_null is the Marchenko-Pastur edge-ratio^1.25 fit to the
+    measured healthy Gaussian controls at 256 chains; the cov-adapted
+    Metropolis null is the iso null scaled to the cov controls."""
+    from nnest_tpu.utils.evaluation import (latent_cond_null,
+                                            metropolis_mix_null)
+    # measured healthy medians: g10 2.3, g30 5.8, g50 11.3 @256 chains
+    assert abs(latent_cond_null(10, 256) - 2.3) < 0.5
+    assert abs(latent_cond_null(30, 256) - 5.8) < 0.9
+    assert abs(latent_cond_null(50, 256) - 11.3) < 1.7
+    # measured rb20 structural excess: cond 14-18.5 -> rel 3.3-4.4
+    assert 3.0 < 14.0 / latent_cond_null(20, 256) < 5.0
+    # monotone in dim, degrades gracefully when chains <= dim
+    assert latent_cond_null(50, 256) > latent_cond_null(10, 256)
+    assert np.isfinite(latent_cond_null(300, 256))
+    # cov-null control points (round-5 production-default Gaussian cov
+    # controls: g10 measured 0.71 @50 steps, g30-auto 0.41 @150 steps)
+    assert abs(metropolis_mix_null(50, 10, adapt_cov=True) - 0.71) < 0.02
+    assert abs(metropolis_mix_null(150, 30, adapt_cov=True) - 0.41) < 0.02
+    # cov null >= iso null at every budget inside the fit domain (the
+    # cov proposal mixes faster on the same healthy controls), capped
+    for d in (10, 20, 30, 50):
+        for steps in (2, 5 * d, 20 * d):
+            iso = metropolis_mix_null(steps, d)
+            cov = metropolis_mix_null(steps, d, adapt_cov=True)
+            assert 0.0 < iso <= cov <= 1.0
