@@ -585,7 +585,8 @@ class Sampler:
                            max_start_tries=100,
                            prior_volume_steps=1,
                            stat_moments=None,
-                           cov_from=None):
+                           cov_from=None,
+                           cov_mask=None):
         """Endpoint-only Metropolis: same trajectory as ``_mcmc_sample`` but
         transfers only each chain's final state + a moved flag — the part
         nested sampling consumes (reference ``nested.py:429-439``). Keeps
@@ -612,7 +613,7 @@ class Sampler:
                 dynamic_step_size=dynamic_step_size,
                 prior_volume_steps=prior_volume_steps,
                 collect_chains=False, stat_moments=stat_moments,
-                cov_from=cov_from)
+                cov_from=cov_from, cov_mask=cov_mask)
             jax.block_until_ready(out['final_x'])
 
         out = self._fetch_all(out)
@@ -822,7 +823,8 @@ class Sampler:
                             max_expand=4,
                             max_shrink=10,
                             stat_moments=None,
-                            cov_from=None):
+                            cov_from=None,
+                            cov_mask=None):
         """Endpoint-only slice sampling from explicit start points — the
         slice analogue of ``_mcmc_sample_final`` (used on the mesh route,
         where chain batches are explicitly dp-sharded by ``_mcmc_init``).
@@ -841,7 +843,8 @@ class Sampler:
                 params, self._next_key(), z, logl, derived,
                 loglstar=loglstar, width=width, slice_steps=slice_steps,
                 max_expand=max_expand, max_shrink=max_shrink,
-                stat_moments=stat_moments, cov_from=cov_from)
+                stat_moments=stat_moments, cov_from=cov_from,
+                cov_mask=cov_mask)
             jax.block_until_ready(out['final_x'])
         out = self._fetch_all(out)
         from nnest_tpu.utils.evaluation import (slice_mix_null,

@@ -215,6 +215,7 @@ class LatentKernels:
                                        'max_shrink', 'speculate',
                                        'adapt_cov'))
         self._fusable = None  # resolved lazily (import cycle + cheap check)
+        self._live_split_fn = None  # lazily-jitted host red-black split
         self._rejection_prior = None  # built lazily (needs a prior sampler)
         self._rejection_flow = jax.jit(self._rejection_flow_impl,
                                        static_argnames=('num_trials',
@@ -258,7 +259,8 @@ class LatentKernels:
     def mcmc(self, params, key, init_z, init_logl, init_derived,
              init_logl_prior, *, loglstar=None, step_size, mcmc_steps,
              dynamic_step_size=False, prior_volume_steps=1,
-             collect_chains=True, stat_moments=None, cov_from=None):
+             collect_chains=True, stat_moments=None, cov_from=None,
+             cov_mask=None):
         """Vectorized multi-chain latent Metropolis.
 
         Two modes as in the reference: hard-likelihood-constraint (nested
@@ -292,9 +294,11 @@ class LatentKernels:
         ``slice_adapt='cov'``). Subsumes the reference's isotropic
         proposal (``sampler.py:307-316``): C -> I recovers it exactly.
         Exactness: the proposal stays Gaussian and symmetric for any
-        FIXED covariance (q(z'|z) = q(z|z')), and C is a function of the
-        live set only — never of the chain state — so the accept rule
-        and the kernel's invariant distribution are untouched. On curved
+        FIXED covariance (q(z'|z) = q(z|z')), and with the red-black
+        ``cov_mask`` (live rows the chain starts were NOT drawn from;
+        required for exactness — see ``_latent_cov_chol`` for the
+        measured full-set bias) C is independent of the chain state, so
+        the accept rule and the invariant distribution are exact. On curved
         degeneracies the globally-whitening flow leaves the within-shell
         latent cloud anisotropic (20-D Rosenbrock: the non-axis-aligned
         ridge direction never decorrelated under isotropic proposals at
@@ -317,6 +321,8 @@ class LatentKernels:
                           np.float32(step_size), mu, var,
                           None if cov_from is None
                           else np.asarray(cov_from, np.float32),
+                          None if cov_mask is None
+                          else np.asarray(cov_mask, bool),
                           mcmc_steps=mcmc_steps,
                           constrained=constrained,
                           dynamic_step_size=dynamic_step_size,
@@ -326,9 +332,9 @@ class LatentKernels:
 
     def _mcmc_impl(self, params, key, z0, logl0, derived0, logl_prior0,
                    loglstar, step_size, stat_mu, stat_var, cov_from=None,
-                   *, mcmc_steps, constrained, dynamic_step_size,
-                   prior_volume_steps, collect_chains=True,
-                   own_moments=True):
+                   cov_mask=None, *, mcmc_steps, constrained,
+                   dynamic_step_size, prior_volume_steps,
+                   collect_chains=True, own_moments=True):
         like_fn, prior_fn = self.like_fn, self.prior_fn
         num_chains = z0.shape[0]
         logl0 = sanitize_log_density(logl0)
@@ -337,11 +343,17 @@ class LatentKernels:
         # the scan: inverse() below closes over packed constants.
         inverse = self._hot_inverse(params)
         x0, ldj0 = inverse(z0)
-        # Covariance preconditioning (fixed per kernel invocation — a
-        # function of the live set only, so the Gaussian proposal stays
-        # symmetric and the invariant distribution untouched).
+        # Covariance preconditioning (fixed per kernel invocation, and —
+        # via the red-black cov_mask — estimated from live points the
+        # chain starts were NOT drawn from, so the Gaussian proposal is
+        # symmetric AND its covariance is independent of the chain state:
+        # the invariant distribution is exact (see _latent_cov_chol for
+        # the measured full-set bias this prevents).
         cov_chol = (None if cov_from is None
-                    else self._latent_cov_chol(params, cov_from))
+                    else self._latent_cov_chol(
+                        params, cov_from, mask=cov_mask,
+                        n_masked=None if cov_mask is None
+                        else cov_from.shape[0] - cov_from.shape[0] // 2))
 
         def propose(z, scale, k):
             kdz, kfast = jax.random.split(k)
@@ -535,7 +547,7 @@ class LatentKernels:
             dynamic_step_size=dynamic_step_size,
             prior_volume_steps=prior_volume_steps, adapt_cov=adapt_cov)
 
-    def _latent_cov_chol(self, params, live_u):
+    def _latent_cov_chol(self, params, live_u, mask=None, n_masked=None):
         """Cholesky factor of the live set's LATENT covariance.
 
         The flow whitens globally, but the within-shell latent cloud can
@@ -548,18 +560,38 @@ class LatentKernels:
         slice move the live set's 1-sigma extent along its direction, so
         ``width=1.0`` brackets stay well-scaled in every direction.
 
-        Exactness: the direction law is a fixed input per pool generation
-        (a function of the live set only, never of the chain state), so
-        the slice kernel's invariant distribution is untouched — any
-        fixed direction distribution with full support is valid.
+        Exactness REQUIRES the red-black split (``mask``): the kernel
+        parameter must be independent of the chains' own states. A
+        covariance estimated from the FULL live set includes the chain
+        starts, so the proposal law correlates with the state it proposes
+        from — the adaptive-MCMC pitfall (the same reason emcee's stretch
+        move uses complementary ensemble halves, Goodman & Weare 2010,
+        and the mechanism behind dynesty's documented high-D rwalk bias).
+        Measured on v5e (BENCHMARKS.md round 5): full-set cov Metropolis
+        biases the 50-D Gaussian evidence +0.35 nats (7 sigma; +0.67 at
+        hidden_dim=16) while the isotropic control is unbiased (+0.09,
+        0.9 sigma). With ``mask`` the covariance uses only the live
+        points the starts were NOT drawn from (``_live_starts`` red-black
+        halves), restoring independence: conditioned on the mask half,
+        each chain's start is still uniform in the shell and its kernel
+        parameter is a constant, so the invariant distribution is exact.
 
-        A tiny relative jitter keeps the factorization PSD; a NaN factor
-        (degenerate live set) falls back to the diagonal scales."""
+        ``n_masked``: static row count of the mask (python int) so the
+        normalization stays shape-static. A tiny relative jitter keeps
+        the factorization PSD; a NaN factor (degenerate live set) falls
+        back to the diagonal scales."""
         z, _ = self.model.forward(params, live_u)
-        zc = z - jnp.mean(z, axis=0, keepdims=True)
+        if mask is None:
+            n = np.float32(z.shape[0])
+            mean = jnp.mean(z, axis=0, keepdims=True)
+            zc = z - mean
+        else:
+            n = np.float32(n_masked)
+            w = mask.astype(z.dtype)[:, None]
+            mean = jnp.sum(z * w, axis=0, keepdims=True) / n
+            zc = (z - mean) * w
         cov = jnp.matmul(zc.T, zc,
-                         precision=jax.lax.Precision.HIGHEST) \
-            / np.float32(z.shape[0])
+                         precision=jax.lax.Precision.HIGHEST) / n
         dim = cov.shape[0]
         eps = 1e-6 * (jnp.trace(cov) / dim + 1e-12)
         cov = cov + eps * jnp.eye(dim, dtype=cov.dtype)
@@ -567,8 +599,44 @@ class LatentKernels:
         fallback = jnp.diag(jnp.sqrt(jnp.maximum(jnp.diag(cov), 1e-12)))
         return jnp.where(jnp.any(jnp.isnan(chol)), fallback, chol)
 
+    @staticmethod
+    def _red_black_split(key, n_live):
+        """Random half split of the live set for red-black covariance
+        adaptation: (start-half indices (n_live//2,), complement mask
+        (n_live,) bool). A random permutation assigns each live point to
+        the start half with probability nA/n_live, so starts drawn
+        uniformly from the half are uniform over the whole live set
+        marginally; the complement carries the covariance estimate,
+        independent of every start (see ``_latent_cov_chol``). The
+        permutation/gathers run once per kernel invocation, outside the
+        chain scan (the no-gather rule is about the scan's carried
+        critical path)."""
+        perm = jax.random.permutation(key, n_live)
+        idx_a = perm[: n_live // 2]
+        mask_a = jnp.zeros((n_live,), bool).at[idx_a].set(True)
+        return idx_a, jnp.logical_not(mask_a)
+
+    def live_split(self, key, n_live, num_chains):
+        """Host-facing red-black start/covariance split for the mesh
+        route: (start indices (num_chains,), covariance mask (n_live,)
+        bool). Computed with exactly the ops and key roles the fused
+        kernels use internally (``_live_starts(red_black=True)``), so the
+        explicitly-sharded route draws bit-identical start indices and
+        covariance halves from the same ``Sampler._next_key`` key."""
+        if self._live_split_fn is None:
+            def impl(key, *, n_live, num_chains):
+                key_half, key_sel = jax.random.split(key)
+                idx_a, cov_mask = self._red_black_split(key_half, n_live)
+                idx = idx_a[jax.random.randint(
+                    key_sel, (num_chains,), 0, n_live // 2)]
+                return idx, cov_mask
+            self._live_split_fn = jax.jit(
+                impl, static_argnames=('n_live', 'num_chains'))
+        return self._live_split_fn(key, n_live=n_live,
+                                   num_chains=num_chains)
+
     def _live_starts(self, params, key_idx, active_u, active_logl,
-                     active_derived, num_chains):
+                     active_derived, num_chains, red_black=False):
         """Chain starts drawn uniformly from the live set, on device.
 
         Gather-free row selection (TPU rule: no dynamic row gathers).
@@ -584,9 +652,24 @@ class LatentKernels:
         unfused host-indexing route (sanitize at kernel entry then
         maps the picked -inf to LOG_NEG identically on both routes).
 
-        Returns (z0, logl0, derived0, lp_prior0, mu, var)."""
+        ``red_black=True`` (covariance-adapted kernels): ``key_idx``
+        splits into (half key, selection key); starts are drawn from a
+        random HALF of the live set and the complement mask is returned
+        for the covariance estimate — removing the kernel-parameter /
+        chain-state correlation that measurably biases full-set
+        adaptation (+0.35 nats at 50-D, see ``_latent_cov_chol``).
+
+        Returns (z0, logl0, derived0, lp_prior0, mu, var, cov_mask);
+        ``cov_mask`` is None unless red_black."""
         n_live = active_u.shape[0]
-        idx = jax.random.randint(key_idx, (num_chains,), 0, n_live)
+        cov_mask = None
+        if red_black:
+            key_half, key_sel = jax.random.split(key_idx)
+            idx_a, cov_mask = self._red_black_split(key_half, n_live)
+            idx = idx_a[jax.random.randint(key_sel, (num_chains,), 0,
+                                           n_live // 2)]
+        else:
+            idx = jax.random.randint(key_idx, (num_chains,), 0, n_live)
         iota = jax.lax.broadcasted_iota(jnp.int32, (num_chains, n_live), 1)
         mask = iota == idx[:, None]
         x0 = jnp.sum(jnp.where(mask[:, :, None], active_u[None, :, :], 0.0),
@@ -602,19 +685,21 @@ class LatentKernels:
         # (reference sampler.py:481-483); they never touch the chains
         mu = jnp.mean(active_u, axis=0)
         var = jnp.var(active_u, axis=0)
-        return z0, logl0, derived0, lp_prior0, mu, var
+        return z0, logl0, derived0, lp_prior0, mu, var, cov_mask
 
     def _mcmc_from_live_impl(self, params, key_idx, key_chain, active_u,
                              active_logl, active_derived, loglstar,
                              step_size, *, num_chains, mcmc_steps,
                              dynamic_step_size, prior_volume_steps,
                              adapt_cov=False):
-        z0, logl0, derived0, lp_prior0, mu, var = self._live_starts(
+        (z0, logl0, derived0, lp_prior0, mu, var,
+         cov_mask) = self._live_starts(
             params, key_idx, active_u, active_logl, active_derived,
-            num_chains)
+            num_chains, red_black=adapt_cov)
         return self._mcmc_impl(
             params, key_chain, z0, logl0, derived0, lp_prior0, loglstar,
             step_size, mu, var, active_u if adapt_cov else None,
+            cov_mask=cov_mask,
             mcmc_steps=mcmc_steps, constrained=True,
             dynamic_step_size=dynamic_step_size,
             prior_volume_steps=prior_volume_steps, collect_chains=False,
@@ -811,7 +896,7 @@ class LatentKernels:
 
     def slice_(self, params, key, init_z, init_logl, init_derived, *,
                loglstar, width, slice_steps, max_expand=4, max_shrink=10,
-               stat_moments=None, cov_from=None):
+               stat_moments=None, cov_from=None, cov_mask=None):
         """Vectorized constrained latent-space SLICE sampling (Neal 2003).
 
         A capability the reference lacks: its only within-shell kernel is
@@ -880,13 +965,16 @@ class LatentKernels:
                            var,
                            None if cov_from is None
                            else np.asarray(cov_from, np.float32),
+                           None if cov_mask is None
+                           else np.asarray(cov_mask, bool),
                            slice_steps=slice_steps,
                            max_expand=max_expand, max_shrink=max_shrink,
                            own_moments=own_moments)
 
     def _slice_impl(self, params, key, z0, logl0, derived0, loglstar,
-                    width, stat_mu, stat_var, cov_from=None, *,
-                    slice_steps, max_expand, max_shrink, own_moments):
+                    width, stat_mu, stat_var, cov_from=None,
+                    cov_mask=None, *, slice_steps, max_expand, max_shrink,
+                    own_moments):
         like_fn, prior_fn = self.like_fn, self.prior_fn
         num_chains = z0.shape[0]
         logl0 = sanitize_log_density(logl0)
@@ -895,8 +983,13 @@ class LatentKernels:
         # Covariance-adapted directions (slice_adapt='cov'): d = L @ n_hat
         # carries the live set's scale along its direction, so the t-units
         # bracket of size ``width`` spans width x (1 sigma) everywhere.
+        # The red-black cov_mask keeps the direction law independent of
+        # the chain starts (see _latent_cov_chol).
         cov_chol = (None if cov_from is None
-                    else self._latent_cov_chol(params, cov_from))
+                    else self._latent_cov_chol(
+                        params, cov_from, mask=cov_mask,
+                        n_masked=None if cov_mask is None
+                        else cov_from.shape[0] - cov_from.shape[0] // 2))
 
         def in_slice(zc, logy, loglstar):
             """(geom, full, x, ldj, logl, derived): geom = prior box +
@@ -1083,12 +1176,12 @@ class LatentKernels:
                               active_logl, active_derived, loglstar,
                               width, *, num_chains, slice_steps,
                               max_expand, max_shrink, adapt_cov=False):
-        z0, logl0, derived0, _lp, mu, var = self._live_starts(
+        z0, logl0, derived0, _lp, mu, var, cov_mask = self._live_starts(
             params, key_idx, active_u, active_logl, active_derived,
-            num_chains)
+            num_chains, red_black=adapt_cov)
         return self._slice_impl(
             params, key_chain, z0, logl0, derived0, loglstar, width, mu,
-            var, active_u if adapt_cov else None,
+            var, active_u if adapt_cov else None, cov_mask=cov_mask,
             slice_steps=slice_steps, max_expand=max_expand,
             max_shrink=max_shrink, own_moments=False)
 

@@ -305,24 +305,27 @@ class NestedSampler(Sampler):
         if mcmc_adapt not in ('cov', 'iso'):
             raise ValueError("mcmc_adapt must be 'cov' or 'iso'")
         # 'cov' (default): covariance-PRECONDITIONED Metropolis proposals
-        # dz ~ N(0, scale^2 * C_live) with C_live the live set's latent
-        # covariance — the Metropolis analogue of slice_adapt='cov',
-        # subsuming the reference's isotropic proposal
+        # dz ~ N(0, scale^2 * C) — the Metropolis analogue of
+        # slice_adapt='cov', subsuming the reference's isotropic proposal
         # (sampler.py:307-316; C -> I recovers it). Targets the round-4
         # finding that the non-axis-aligned ridge direction of curved
         # degeneracies never decorrelates under isotropic proposals at
-        # any step count (BENCHMARKS.md). 'iso' restores the round-4
-        # isotropic key-stream-compatible proposal (the preconditioning
-        # matmul consumes no extra keys, only the values differ).
+        # any step count (BENCHMARKS.md). C comes from a RED-BLACK split
+        # of the live set: chain starts draw from a random half, C from
+        # the complement — estimating C from the full set (which contains
+        # the starts) is the adaptive-MCMC pitfall and measurably biased
+        # the 50-D Gaussian evidence +0.35 nats (kernels._latent_cov_chol,
+        # BENCHMARKS.md round 5). 'iso' restores the round-4 isotropic
+        # reference-compatible proposal.
         mcmc_adapt_cov = mcmc_adapt == 'cov'
         # 'cov' (default): slice directions drawn from the live set's
         # latent covariance (d = L n_hat, PolyChord-style per-generation
         # whitening in z) — the fix for curved degeneracies where the
         # globally-whitening flow leaves the within-shell latent cloud
-        # anisotropic (measured on 20-D Rosenbrock, BENCHMARKS.md).
-        # 'iso' restores the round-3 isotropic directions (and their key
-        # stream — the direction draw consumes the same split either way,
-        # only the values differ).
+        # anisotropic (measured on 20-D Rosenbrock, BENCHMARKS.md). The
+        # direction covariance uses the same red-black split as
+        # mcmc_adapt='cov' (independence of the chains' own starts).
+        # 'iso' restores the round-3 isotropic directions.
         slice_adapt_cov = slice_adapt == 'cov'
         # Likelihood-calls-per-accept proxy for the strategy-expiry
         # threshold when 'slice' (not 'mcmc') is the downstream method:
@@ -1045,10 +1048,30 @@ class NestedSampler(Sampler):
                             dynamic_step_size=mcmc_dynamic_step_size,
                             adapt_cov=mcmc_adapt_cov)
                     else:
-                        # mesh route: explicit dp-sharded chain batches
-                        idx = np.asarray(_randint(
-                            self._next_key(), mcmc_num_chains,
-                            self.num_live_points))
+                        # mesh route: explicit dp-sharded chain batches.
+                        # With cov adaptation the start indices and the
+                        # red-black covariance mask come from the SAME
+                        # key-role ops as the fused kernels
+                        # (kernels.live_split), so the two routes draw
+                        # identical starts and covariance halves — and the
+                        # covariance never sees the chains' own starts
+                        # (the measured full-set adaptation bias,
+                        # kernels._latent_cov_chol).
+                        gen_adapt_cov = (slice_adapt_cov if is_slice
+                                         else mcmc_adapt_cov)
+                        cov_mask = None
+                        if gen_adapt_cov:
+                            idx_dev, mask_dev = self.kernels.live_split(
+                                self._next_key(), self.num_live_points,
+                                mcmc_num_chains)
+                            idx, cov_mask = jax.device_get(
+                                (idx_dev, mask_dev))
+                            idx = np.asarray(idx)
+                            cov_mask = np.asarray(cov_mask, bool)
+                        else:
+                            idx = np.asarray(_randint(
+                                self._next_key(), mcmc_num_chains,
+                                self.num_live_points))
                         init_samples = active_u[idx, :]
                         init_loglikes = active_logl[idx]
                         init_derived = (active_derived[idx, :]
@@ -1068,7 +1091,8 @@ class NestedSampler(Sampler):
                                               np.var(active_u, axis=0)),
                                 cov_from=(
                                     active_u.astype(np.float32)
-                                    if slice_adapt_cov else None))
+                                    if slice_adapt_cov else None),
+                                cov_mask=cov_mask)
                         else:
                             (u_f, logl_f, derived_f, moved, mcmc_scale,
                              mean_jump, nc) = self._mcmc_sample_final(
@@ -1082,7 +1106,8 @@ class NestedSampler(Sampler):
                                               np.var(active_u, axis=0)),
                                 cov_from=(
                                     active_u.astype(np.float32)
-                                    if mcmc_adapt_cov else None))
+                                    if mcmc_adapt_cov else None),
+                                cov_mask=cov_mask)
                     # Chain endpoints are the candidates (nested.py:429-439:
                     # accept iff the chain moved and logl > loglstar).
                     pool = {'u': u_f[moved], 'logl': logl_f[moved],

@@ -438,10 +438,31 @@ class Trainer:
             np.save(os.path.join(self.path, 'data', 'originals.npy'), samples)
 
         if jitter < 0:
-            training_jitter = float(
-                0.2 * _mean_nn_distance(jnp.asarray(samples)))
+            # Auto-jitter: the reference smooths training data with noise
+            # sigma = 0.2 x mean nearest-neighbour distance (reference
+            # trainer.py:168-173). That law is dimension-pathological:
+            # NN distances grow ~ the FULL inter-point distance in high-D
+            # (curse of dimensionality), so at 30-D+ the per-dim noise
+            # reaches the per-dim data std and training stalls — measured
+            # (BENCHMARKS.md round 5): every 30/50-D production training
+            # had best_epoch=1 (validation never improved past the
+            # ActNorm init; the flow ran the whole nested job untrained).
+            # Fix: divide by sqrt(d) above 16-D, the per-dimension share
+            # of the NN distance. Probe on 30-D structured live-set-like
+            # data (1000 pts): ref 0.27 -> val NLL 4.66 stalled @epoch 8;
+            # /sqrt(d) 0.049 -> 1.46 @epoch 100 (the measured optimum:
+            # 0.154 -> 2.53, 0.089 -> 1.75, 0 -> 1.67). At <=16-D the
+            # reference law is kept verbatim — it measurably REGULARIZES
+            # there (10-D structured: ref -2.105 vs /sqrt(d) -2.040) and
+            # every round-4 anchor (oracles, warm walls, mixing nulls)
+            # was validated under it.
+            training_jitter = 0.2 * float(
+                _mean_nn_distance(jnp.asarray(samples)))
+            if self.x_dim > 16:
+                training_jitter /= float(self.x_dim) ** 0.5
         else:
             training_jitter = float(jitter)
+        self.last_training_jitter = training_jitter
 
         if self.log:
             self.logger.info('Number of training samples [%d]'

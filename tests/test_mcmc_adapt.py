@@ -53,9 +53,11 @@ def test_cov_proposal_stationarity(tmp_path):
 
 def test_cov_from_live_matches_unfused(tmp_path):
     """Fused mcmc_from_live(adapt_cov=True) is bit-identical to the unfused
-    composition (host index draw -> row select -> re-projection -> kernel
-    with cov_from=the same live set) — the preconditioning matmul runs at
-    Precision.HIGHEST on both routes."""
+    composition (host red-black split via kernels.live_split -> row select
+    -> re-projection -> kernel with cov_from=the full live set + the
+    complement cov_mask) — the preconditioning matmul runs at
+    Precision.HIGHEST on both routes and the covariance half never
+    includes the chain starts."""
     from nnest_tpu.flows import build_flow
     from nnest_tpu.samplers.kernels import LatentKernels
     dim = 2
@@ -87,8 +89,11 @@ def test_cov_from_live_matches_unfused(tmp_path):
         num_chains=num_chains, loglstar=loglstar, step_size=0.7,
         mcmc_steps=steps, adapt_cov=True)
 
-    idx = np.asarray(jax.jit(
-        lambda k: jax.random.randint(k, (num_chains,), 0, n_live))(key_idx))
+    idx_dev, mask_dev = kern.live_split(key_idx, n_live, num_chains)
+    idx, cov_mask = np.asarray(idx_dev), np.asarray(mask_dev, bool)
+    # red-black contract: every start comes from the NON-covariance half
+    assert not cov_mask[idx].any()
+    assert cov_mask.sum() == n_live - n_live // 2
     x0 = jnp.asarray(active_u[idx])
     logl0 = jnp.asarray(active_logl[idx])
     derived0 = jnp.asarray(active_derived[idx])
@@ -96,7 +101,7 @@ def test_cov_from_live_matches_unfused(tmp_path):
     x0p, _ = model.inverse(params, z0)
     lp0 = kern.prior_fn(x0p)
     unfused = kern.mcmc(
-        params, key_chain, z0, logl0, derived0, lp0,
+        params, key_chain, z0, logl0, derived0, lp0, cov_mask=cov_mask,
         loglstar=loglstar, step_size=0.7, mcmc_steps=steps,
         collect_chains=False,
         stat_moments=(np.mean(active_u, axis=0),

@@ -65,6 +65,37 @@ def test_auto_jitter():
     assert 0 < d < 1.0
 
 
+def test_auto_jitter_dim_law():
+    """jitter=-1 derives 0.2 x mean-NN distance (reference
+    trainer.py:168-173) at <=16-D and divides by sqrt(d) above — the
+    high-D fix for the measured training stall (BENCHMARKS.md round 5:
+    at 30/50-D the reference law's noise reaches the per-dim data std
+    and validation never improves past the ActNorm init)."""
+    rng = np.random.RandomState(3)
+    for d, shrink in ((8, 1.0), (30, 30.0 ** 0.5)):
+        x = rng.uniform(-1, 1, size=(200, d)).astype(np.float32)
+        nn = float(_mean_nn_distance(x))
+        t = Trainer(d, hidden_dim=16, log=False, seed=0)
+        t.train(x, max_iters=1, patience=1, jitter=-1)
+        assert abs(t.last_training_jitter - 0.2 * nn / shrink) < 1e-6
+
+
+def test_high_dim_training_progresses():
+    """With the dimension-scaled auto-jitter a 30-D flow actually trains:
+    validation improves well past the first epoch on structured
+    (live-set-like) data. Under the reference jitter law this measured
+    best_epoch=1 in every 30/50-D production run (round-5 stall bug)."""
+    rng = np.random.RandomState(0)
+    d = 30
+    a = rng.randn(d, d) * 0.15
+    cov = 0.02 * np.eye(d) + 0.1 * (a @ a.T)
+    x = np.clip(rng.multivariate_normal(np.zeros(d), cov, size=600),
+                -1, 1).astype(np.float32)
+    t = Trainer(d, hidden_dim=16, log=False, seed=1)
+    t.train(x, max_iters=50, patience=50, jitter=-1)
+    assert t.best_validation_epoch >= 5
+
+
 def test_tail_batch_trains():
     """batch_size does not divide the training set: the masked tail batch
     must train (reference DataLoader drop_last=False semantics,
