@@ -345,13 +345,16 @@ def metropolis_mix_null(steps, dim, adapt_cov=False):
     round-5 default) adapts the per-direction scale to the live-set
     covariance and decorrelates measurably faster on the SAME healthy
     controls, with a WEAKER dim penalty: production-default (auto
-    capacity) Gaussian cov controls measure 0.71 at 10-D/50 steps and
-    0.41 at 30-D/150 steps, pinning null = 0.45 * steps / dim^1.5
-    (the two points give the exponent 1.50 to three digits; validated
-    at 50-D, BENCHMARKS.md round 5). Fit domain 10-50-D. The RELATIVE
-    ratio measured/expected is ~1 on whitened unimodal problems at any
-    dim and collapses on curved degeneracies the flow cannot whiten —
-    the regime where sqrt(h/N) under-covers.
+    capacity, red-black covariance, dimension-scaled jitter) Gaussian
+    cov controls measure 0.689 at 10-D/50 steps, 0.459 at 30-D/150 and
+    0.398 at 50-D/250, pinning null = 0.31 * steps / dim^1.35 (the
+    implied constant is 0.301-0.313 across all three dims; predictions
+    within 3% everywhere — BENCHMARKS.md round 5 part 2). Fit domain
+    10-50-D. The RELATIVE ratio measured/expected is ~1 on whitened
+    unimodal problems at any dim and collapses on curved degeneracies
+    the flow cannot whiten — the regime where sqrt(h/N) under-covers
+    (20-D Rosenbrock at default 5d steps: rel 0.65, flag fires, and the
+    run is indeed ~1.5 nats low).
 
     The null never drops below its value at the DEFAULT budget (5*dim
     steps, the calibration design point): a deliberately starved kernel
@@ -360,7 +363,7 @@ def metropolis_mix_null(steps, dim, adapt_cov=False):
     too few steps must lower R and fire the flag, not relax the bar.
     """
     if adapt_cov:
-        return min(1.0, 0.45 * max(steps, 5 * dim) / float(dim) ** 1.5)
+        return min(1.0, 0.31 * max(steps, 5 * dim) / float(dim) ** 1.35)
     return min(1.0, 1.4 * max(steps, 5 * dim) / float(dim) ** 2)
 
 
