@@ -292,6 +292,21 @@ class NestedSampler(Sampler):
                                else (256 if self.x_dim >= 8 else 128))
         if mcmc_steps <= 0:
             mcmc_steps = 5 * self.x_dim
+            if self.x_dim >= 40 and self.single_or_primary_process:
+                # Measured (BENCHMARKS.md round 5 part 2): at 50-D the
+                # reference's 5*d default leaves chain endpoints
+                # correlated with their still-alive starts — a +0.08-nat
+                # (0.6 sigma) high evidence systematic on the 50-D
+                # Gaussian control that VANISHES at 10*d steps (for 2x
+                # the likelihood calls). The quoted logzerr_adjusted
+                # covers it; this is an informational nudge, not a flag.
+                self.logger.info(
+                    'mcmc_steps defaulted to 5*x_dim = %d. At x_dim >= '
+                    '~40 this budget leaves a measured ~+0.1-nat '
+                    'evidence systematic (endpoint-start correlation; '
+                    'BENCHMARKS.md round 5) — mcmc_steps=%d removes it '
+                    'at 2x the likelihood cost.'
+                    % (mcmc_steps, 10 * self.x_dim))
         if step_size <= 0.0:
             step_size = 1.0 / self.x_dim ** 0.5
         if slice_steps <= 0:
